@@ -1,0 +1,389 @@
+"""Fourier Sliced-Wasserstein embedding -- TPU-native functional core.
+
+Reimplements the mathematics of the reference `FSW_embedding`
+(/root/reference/fsw_embedding.py:169-1144) in pure JAX with static shapes.
+
+The embedding of a weighted multiset {(x_j, w_j)} for slice vector v_k and
+frequency xi is (fsw_embedding.py:999-1004, 1047-1075, 1109):
+
+    emb_k = (1 + xi) * sum_j p_(j) * [ g(c_j) - g(c_{j-1}) ]
+    g(c)  = 2 c sinc(2 xi c) = sin(2 pi xi c) / (pi xi)
+
+where p_(j) = <x_(j), v_k> are the projections sorted ascending, and c_j is
+the inclusive cumsum of the normalized weights in sorted order.  We use the
+sum-to-product identity (the reference's sparse-path formulation,
+fsw_embedding.py:1047-1075):
+
+    g(c_j) - g(c_j - w_j) = 2 w_j sinc(xi w_j) cos(pi xi (2 c_j - w_j))
+
+which needs no neighbor-difference over the (possibly segmented) structure.
+
+Total-mass padding (fsw_embedding.py:787-829): a multiset whose total mass
+falls below `total_mass_pad_thresh` is padded with a phantom point at the
+origin carrying the deficit.  TPU-native reformulation: the phantom's
+projection is exactly 0, so its direct contribution p * sincdiff vanishes;
+its only effect is (a) the normalization by max(W_sum, thresh) and (b)
+shifting the weight-cumsum of all elements with positive projection by the
+normalized deficit.  Hence no ragged insertion is ever materialized:
+
+    c_j  <-  c_j + pad_norm * 1[p_(j) > 0]
+
+This is exact (the phantom sorts at 0, after all negative and zero
+projections -- the reference appends it last, so stable sort places real
+zero-projection points before it).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from .ops.segment import (segment_cumsum, segment_sort, segment_sum)
+
+
+# ---------------------------------------------------------------------------
+# Configuration
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FSWConfig:
+    """Static configuration of an FSW embedding.
+
+    Mirrors the constructor surface of the reference `FSW_embedding.__init__`
+    (fsw_embedding.py:172-337).  Exactly one of `d_out` or
+    (`n_slices`, `n_freqs`) must be given; the latter selects cartesian mode.
+    """
+    d_in: int
+    d_out: Optional[int] = None
+    n_slices: Optional[int] = None
+    n_freqs: Optional[int] = None
+    collapse_freqs: bool = False
+    d_edge: int = 0
+    encode_total_mass: bool = False
+    total_mass_encoding_function: str = 'identity'   # identity | sqrt | log
+    total_mass_encoding_scale: float = 1.0
+    total_mass_encoding_method: str = 'plain'        # plain | homog | homog_alt
+    total_mass_pad_thresh: float = 1.0
+    learnable_slices: bool = False
+    learnable_freqs: bool = False
+    learnable_total_mass_encoding_scale: bool = False
+    freqs_init: Union[float, int, str, Tuple[float, float]] = 'random'
+    minimize_slice_coherence: bool = False
+    enable_bias: bool = True
+
+    def __post_init__(self):
+        assert self.d_in >= 0 and self.d_edge >= 0
+        assert self.total_mass_encoding_method in ('plain', 'homog', 'homog_alt')
+        assert self.total_mass_encoding_function in ('identity', 'sqrt', 'log')
+        assert self.total_mass_pad_thresh > 0
+        if self.d_out is not None and self.n_slices is None and self.n_freqs is None:
+            pass
+        elif self.d_out is None and self.n_slices is not None and self.n_freqs is not None:
+            # cartesian mode; encode_total_mass needs a flat output axis
+            assert self.collapse_freqs or not self.encode_total_mass, (
+                'Cartesian mode with collapse_freqs=False does not support '
+                'encode_total_mass=True')
+        else:
+            raise ValueError('Give exactly one of d_out or (n_slices, n_freqs)')
+        if self.d_out == 0:
+            object.__setattr__(self, 'encode_total_mass', False)
+
+    # --- resolved sizes (fsw_embedding.py:242-267) ---
+    @property
+    def cartesian_mode(self) -> bool:
+        return self.d_out is None
+
+    @property
+    def total_mass_dim(self) -> int:
+        return 1 if self.encode_total_mass else 0
+
+    @property
+    def nSlices(self) -> int:
+        if self.cartesian_mode:
+            return self.n_slices
+        return self.d_out - self.total_mass_dim
+
+    @property
+    def nFreqs(self) -> int:
+        if self.cartesian_mode:
+            return self.n_freqs
+        return self.d_out - self.total_mass_dim
+
+    @property
+    def out_dim(self) -> int:
+        if self.cartesian_mode:
+            return self.n_slices * self.n_freqs + self.total_mass_dim
+        return self.d_out
+
+    @property
+    def proj_dim(self) -> int:
+        return self.d_in + self.d_edge
+
+
+# ---------------------------------------------------------------------------
+# Custom-gradient clamp
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
+def lowclamp(x, thresh: float):
+    """`max(x, thresh)` whose gradient is 1 *at* the threshold boundary.
+
+    Matches `ag.custom_lowclamp` (fsw_embedding.py:1735-1744): active set is
+    `x >= thresh`, so points exactly on the boundary pass gradient through.
+    """
+    return jnp.maximum(x, thresh)
+
+
+@lowclamp.defjvp
+def _lowclamp_jvp(thresh, primals, tangents):
+    (x,), (dx,) = primals, tangents
+    return jnp.maximum(x, thresh), jnp.where(x >= thresh, dx, jnp.zeros_like(dx))
+
+
+# ---------------------------------------------------------------------------
+# Quadrature core (shared by all paths)
+# ---------------------------------------------------------------------------
+
+def _sinc_diff(ws, c, freqs):
+    """2 w sinc(xi w) cos(pi xi (2c - w)) for broadcastable ws, c, freqs."""
+    return 2.0 * ws * jnp.sinc(freqs * ws) * jnp.cos(
+        jnp.pi * freqs * (2.0 * c - ws))
+
+
+def _total_mass_value(w_sum, cfg: FSWConfig):
+    """f(total mass) per `total_mass_encoding_function` (fsw_embedding.py:856-869)."""
+    if cfg.total_mass_encoding_function == 'identity':
+        return w_sum
+    if cfg.total_mass_encoding_function == 'sqrt':
+        # numerically-safe sqrt(1+x)-1 (reference comment at py:861-864)
+        return 2.0 * (w_sum / (jnp.sqrt(w_sum + 1.0) + 1.0))
+    return jnp.log1p(w_sum)
+
+
+def _homog_alt_part1(tm):
+    """fsw_embedding.py:1137-1139."""
+    return jnp.where(tm <= 1, tm * (2 - tm), jnp.ones_like(tm))
+
+
+def _homog_alt_part2(tm):
+    """fsw_embedding.py:1141-1144."""
+    return jnp.where(tm <= 1, jnp.square(tm), 2 * tm - 1)
+
+
+def _append_total_mass(emb, w_sum, scale, cfg: FSWConfig):
+    """Prepend the encoded total mass along the last axis (py:856-884)."""
+    tm = _total_mass_value(w_sum, cfg) * scale
+    tm = tm[..., None]
+    if cfg.total_mass_encoding_method == 'plain':
+        return jnp.concatenate([tm, emb], axis=-1)
+    emb_norm = jnp.mean(jnp.abs(emb), axis=-1, keepdims=True)
+    if cfg.total_mass_encoding_method == 'homog':
+        return jnp.concatenate([tm * emb_norm, emb], axis=-1)
+    return jnp.concatenate([_homog_alt_part1(tm) * emb_norm,
+                            _homog_alt_part2(tm) * emb], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Dense multiset path  (reference dense branch, fsw_embedding.py:983-1004)
+# ---------------------------------------------------------------------------
+
+def fsw_embed_multiset(X: jax.Array,
+                       W: Optional[jax.Array],
+                       projVecs: jax.Array,
+                       freqs: jax.Array,
+                       cfg: FSWConfig,
+                       bias: Optional[jax.Array] = None,
+                       total_mass_scale: Optional[jax.Array] = None,
+                       w_mode: str = 'unit') -> jax.Array:
+    """Embed batched weighted multisets.
+
+    X: (..., n, d_in); W: (..., n) nonnegative, or None with
+    w_mode in {'unit','uniform'} (fsw_embedding.py:726-732).
+    Returns (..., d_out) -- or (..., nSlices, nFreqs) in non-collapsed
+    cartesian mode.
+    """
+    n = X.shape[-2]
+    dt = X.dtype
+    if W is None:
+        W = jnp.ones(X.shape[:-1], dt) if w_mode == 'unit' else \
+            jnp.full(X.shape[:-1], 1.0 / n, dt)
+
+    w_sum = jnp.sum(W, axis=-1)                                   # (...,)
+    w_sum_padded = lowclamp(w_sum, cfg.total_mass_pad_thresh)
+    pad_norm = lowclamp(cfg.total_mass_pad_thresh - w_sum, 0.0) / w_sum_padded
+    wn = W / w_sum_padded[..., None]                              # (..., n)
+
+    Xp = jnp.einsum('...nd,sd->...ns', X, projVecs[:, :cfg.d_in])  # (..., n, S)
+    ps, perm = jax.lax.sort_key_val(
+        jnp.moveaxis(Xp, -2, -1),                                  # (..., S, n)
+        jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
+                         Xp.shape[:-2] + (Xp.shape[-1], n)),
+        dimension=-1, is_stable=True)
+    ws = jnp.take_along_axis(wn[..., None, :], perm, axis=-1)      # (..., S, n)
+
+    c = jnp.cumsum(ws, axis=-1) + pad_norm[..., None, None] * (ps > 0)
+
+    if cfg.cartesian_mode:
+        f = freqs                                                  # (F,)
+        sd = _sinc_diff(ws[..., None], c[..., None], f)            # (..., S, n, F)
+        emb = jnp.einsum('...sn,...snf->...sf', ps, sd)            # (..., S, F)
+        emb = (1.0 + f) * emb
+    else:
+        f = freqs[..., :, None]                                    # (S, 1)
+        sd = _sinc_diff(ws, c, f)                                  # (..., S, n)
+        emb = jnp.sum(ps * sd, axis=-1)                            # (..., S)
+        emb = (1.0 + freqs) * emb
+
+    return _finalize(emb, w_sum, cfg, bias, total_mass_scale)
+
+
+def _finalize(emb, w_sum, cfg: FSWConfig, bias, total_mass_scale):
+    """Collapse, total-mass augmentation, bias (fsw_embedding.py:853-888)."""
+    if cfg.cartesian_mode and cfg.collapse_freqs:
+        emb = emb.reshape(emb.shape[:-2] + (emb.shape[-2] * emb.shape[-1],))
+    if cfg.encode_total_mass:
+        scale = total_mass_scale if total_mass_scale is not None else \
+            jnp.asarray(cfg.total_mass_encoding_scale, emb.dtype)
+        emb = _append_total_mass(emb, w_sum, scale, cfg)
+    if cfg.enable_bias and bias is not None:
+        emb = emb + bias
+    return emb
+
+
+# ---------------------------------------------------------------------------
+# CSR-segment graph path  (reference sparse branch, fsw_embedding.py:1005-1110)
+# ---------------------------------------------------------------------------
+
+def fsw_embed_graph(X: jax.Array,
+                    graph,
+                    projVecs: jax.Array,
+                    freqs: jax.Array,
+                    cfg: FSWConfig,
+                    bias: Optional[jax.Array] = None,
+                    total_mass_scale: Optional[jax.Array] = None,
+                    slice_chunk: Optional[int] = None) -> jax.Array:
+    """Embed every recipient's in-neighborhood of a CSR `Graph`.
+
+    X: (num_nodes, d_in) sender features.  Returns (num_recipients, d_out)
+    (or (R, nSlices, nFreqs) in non-collapsed cartesian mode).
+
+    `slice_chunk` serializes the slice axis in chunks to cap peak memory,
+    the analogue of the reference's `serialize_num_slices`
+    (fsw_embedding.py:620-623, 839-851).
+    """
+    R = graph.num_recipients
+    dst = graph.dst
+    w = graph.weight
+    dt = X.dtype
+
+    w_sum = segment_sum(w, dst, R)                                 # (R,)
+    w_sum_padded = lowclamp(w_sum, cfg.total_mass_pad_thresh)
+    pad_norm = lowclamp(cfg.total_mass_pad_thresh - w_sum, 0.0) / w_sum_padded
+    wn = w / jnp.take(w_sum_padded, dst)                           # (E,)
+    pad_norm_e = jnp.take(pad_norm, dst)                           # (E,)
+
+    Xp = X @ projVecs[:, :cfg.d_in].T                              # (N, S)
+    P = jnp.take(Xp, graph.src, axis=0)                            # (E, S)
+    if cfg.d_edge > 0:
+        assert graph.edge_feat is not None, 'graph has no edge features'
+        P = P + graph.edge_feat @ projVecs[:, cfg.d_in:].T
+
+    def one_slice(p_k, f_k):
+        """p_k: (E,) projections for one slice; f_k: () or (F,) freqs."""
+        ps, ws = segment_sort(p_k, wn, segment_ids=dst)
+        c = segment_cumsum(ws, dst, graph.row_ptr) + pad_norm_e * (ps > 0)
+        if cfg.cartesian_mode:
+            sd = _sinc_diff(ws[:, None], c[:, None], f_k)          # (E, F)
+            out = segment_sum(ps[:, None] * sd, dst, R)            # (R, F)
+        else:
+            sd = _sinc_diff(ws, c, f_k)                            # (E,)
+            out = segment_sum(ps * sd, dst, R)                     # (R,)
+        return (1.0 + f_k) * out
+
+    S = cfg.nSlices
+    if cfg.cartesian_mode:
+        slice_freqs = jnp.broadcast_to(freqs, (S,) + freqs.shape)
+    else:
+        slice_freqs = freqs                                        # (S,)
+
+    if slice_chunk is None or slice_chunk >= S:
+        emb = jax.vmap(one_slice, in_axes=(1, 0))(P, slice_freqs)  # (S, R[, F])
+    else:
+        # pad S to a multiple of slice_chunk and scan chunks to bound memory
+        n_chunks = -(-S // slice_chunk)
+        S_pad = n_chunks * slice_chunk
+        P_pad = jnp.pad(P, ((0, 0), (0, S_pad - S)))
+        f_pad = jnp.pad(slice_freqs, ((0, S_pad - S),) + ((0, 0),) *
+                        (slice_freqs.ndim - 1))
+        P_chunks = jnp.moveaxis(P_pad.reshape(P.shape[0], n_chunks, slice_chunk),
+                                1, 0)                              # (n_chunks, E, chunk)
+        f_chunks = f_pad.reshape((n_chunks, slice_chunk) + slice_freqs.shape[1:])
+        emb = jax.lax.map(
+            lambda pf: jax.vmap(one_slice, in_axes=(1, 0))(pf[0], pf[1]),
+            (P_chunks, f_chunks))
+        emb = emb.reshape((S_pad,) + emb.shape[2:])[:S]
+
+    emb = jnp.moveaxis(emb, 0, 1)                                  # (R, S[, F])
+    return _finalize(emb.astype(dt), w_sum, cfg, bias, total_mass_scale)
+
+
+# ---------------------------------------------------------------------------
+# Dense graph-mode path  (dense W branch with graph_mode=True,
+# fsw_embedding.py:983-1004 with recipient axis)
+# ---------------------------------------------------------------------------
+
+def fsw_embed_graph_dense(X: jax.Array,
+                          W: jax.Array,
+                          projVecs: jax.Array,
+                          freqs: jax.Array,
+                          cfg: FSWConfig,
+                          X_edge: Optional[jax.Array] = None,
+                          bias: Optional[jax.Array] = None,
+                          total_mass_scale: Optional[jax.Array] = None) -> jax.Array:
+    """Graph mode with a dense adjacency W: (..., R, n); X: (..., n, d_in).
+
+    X_edge: (..., R, n, d_edge) or (..., R, n) when d_edge == 1
+    (fsw_embedding.py:744-757).
+    Returns (..., R, d_out).
+    """
+    n = W.shape[-1]
+
+    w_sum = jnp.sum(W, axis=-1)                                    # (..., R)
+    w_sum_padded = lowclamp(w_sum, cfg.total_mass_pad_thresh)
+    pad_norm = lowclamp(cfg.total_mass_pad_thresh - w_sum, 0.0) / w_sum_padded
+    wn = W / w_sum_padded[..., None]                               # (..., R, n)
+
+    Xp = jnp.einsum('...nd,sd->...ns', X, projVecs[:, :cfg.d_in])  # (..., n, S)
+    if cfg.d_edge > 0:
+        assert X_edge is not None
+        if X_edge.ndim == W.ndim:
+            X_edge = X_edge[..., None]
+        Ep = jnp.einsum('...rne,se->...rns', X_edge, projVecs[:, cfg.d_in:])
+        P = Xp[..., None, :, :] + Ep                               # (..., R, n, S)
+    else:
+        P = jnp.broadcast_to(Xp[..., None, :, :],
+                             W.shape[:-1] + Xp.shape[-2:])         # (..., R, n, S)
+
+    ps, perm = jax.lax.sort_key_val(
+        jnp.moveaxis(P, -2, -1),                                   # (..., R, S, n)
+        jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
+                         P.shape[:-2] + (P.shape[-1], n)),
+        dimension=-1, is_stable=True)
+    ws = jnp.take_along_axis(wn[..., None, :], perm, axis=-1)      # (..., R, S, n)
+
+    c = jnp.cumsum(ws, axis=-1) + pad_norm[..., None, None] * (ps > 0)
+
+    if cfg.cartesian_mode:
+        sd = _sinc_diff(ws[..., None], c[..., None], freqs)        # (..., R, S, n, F)
+        emb = jnp.einsum('...sn,...snf->...sf', ps, sd)
+        emb = (1.0 + freqs) * emb                                  # (..., R, S, F)
+    else:
+        sd = _sinc_diff(ws, c, freqs[..., :, None])                # (..., R, S, n)
+        emb = jnp.sum(ps * sd, axis=-1)
+        emb = (1.0 + freqs) * emb                                  # (..., R, S)
+
+    return _finalize(emb, w_sum, cfg, bias, total_mass_scale)

@@ -1,0 +1,188 @@
+"""Static CSR-segment graph container and host-side builders.
+
+This replaces the reference's sparse-COO adjacency handling
+(`FSW_conv.edge_index_to_adj`, /root/reference/fsw_conv.py:384-447, and the
+coalescence machinery in fsw_embedding.py:2266-2774) with a TPU-native static
+layout: a flat edge list sorted by destination, padded to a fixed size, with
+CSR row pointers.  All shape-determining work (coalescing duplicates,
+self-loops, sorting, padding) runs once on the host in numpy; everything on
+device is static-shape gathers/scans.
+
+Conventions (matching the reference):
+  * `edge_index` has shape (2, E) with edge_index[0] = source (sender) and
+    edge_index[1] = destination (recipient); adj[i, j] = weight of edge j->i
+    (fsw_conv.py:384-398).
+  * Padded edges carry weight 0 and therefore contribute exactly 0 to every
+    segmented reduction in the FSW pipeline.  They point at segment
+    `num_recipients - 1` (kept sorted) and sender 0.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class Graph:
+    """Edge-partitionable CSR-segment graph.
+
+    Attributes
+    ----------
+    src : (E,) int32 -- sender node index per edge.
+    dst : (E,) int32 -- recipient node index per edge, sorted non-decreasing.
+    weight : (E,) float -- edge weight (0 for padding).
+    row_ptr : (num_recipients + 1,) int32 -- CSR pointers into the edge list.
+    edge_feat : (E, d_edge) float or None -- optional edge features.
+    in_degrees : (num_recipients,) float -- sum of incoming *unit/self-loop*
+        weights (before gcn normalization), matching fsw_conv.py:400-401.
+    num_nodes / num_recipients : static ints (pytree aux data).
+    num_edges : static int -- count of real (non-padding) edges.
+    """
+    src: jax.Array
+    dst: jax.Array
+    weight: jax.Array
+    row_ptr: jax.Array
+    in_degrees: jax.Array
+    edge_feat: Optional[jax.Array] = None
+    num_nodes: int = struct.field(pytree_node=False, default=0)
+    num_recipients: int = struct.field(pytree_node=False, default=0)
+    num_edges: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def padded_num_edges(self) -> int:
+        return self.src.shape[0]
+
+    @property
+    def d_edge(self) -> int:
+        return 0 if self.edge_feat is None else self.edge_feat.shape[-1]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def from_edge_index(edge_index,
+                    num_nodes: int,
+                    edge_features=None,
+                    *,
+                    edge_weight=None,
+                    self_loop_weight: float = 0.0,
+                    edge_weighting: str = 'unit',
+                    num_recipients: Optional[int] = None,
+                    pad_to: Optional[int] = None,
+                    pad_multiple: int = 128,
+                    dtype=jnp.float32) -> Graph:
+    """Build a padded CSR `Graph` from a (2, E) edge index on the host.
+
+    Semantics mirror `FSW_conv.edge_index_to_adj` (fsw_conv.py:384-447):
+    unit edge weights (or `edge_weight` if given), optional self-loops of
+    weight `self_loop_weight`, duplicate-edge coalescing by summation,
+    in-degree computation, and optional symmetric 'gcn' normalization
+    D^{-1/2} A D^{-1/2} using in-degrees (fsw_conv.py:406-409).
+    """
+    assert edge_weighting in ('unit', 'gcn')
+    edge_index = np.asarray(edge_index)
+    assert edge_index.ndim == 2 and edge_index.shape[0] == 2
+    num_recipients = num_nodes if num_recipients is None else num_recipients
+    src = edge_index[0].astype(np.int64)
+    dst = edge_index[1].astype(np.int64)
+    E = src.shape[0]
+    w = (np.ones(E, np.float64) if edge_weight is None
+         else np.asarray(edge_weight, np.float64))
+    d_edge = 0
+    ef = None
+    if edge_features is not None:
+        ef = np.asarray(edge_features, np.float64)
+        if ef.ndim == 1:
+            ef = ef[:, None]
+        assert ef.shape[0] == E
+        d_edge = ef.shape[1]
+
+    if self_loop_weight > 0:
+        loop = np.arange(num_nodes, dtype=np.int64)
+        src = np.concatenate([src, loop])
+        dst = np.concatenate([dst, loop])
+        w = np.concatenate([w, np.full(num_nodes, self_loop_weight)])
+        if ef is not None:
+            ef = np.concatenate([ef, np.zeros((num_nodes, d_edge))], axis=0)
+
+    # coalesce duplicates by (dst, src): sum weights; edge features of
+    # duplicates are summed as well (torch coalesce() semantics,
+    # fsw_conv.py:397-398, 443-444)
+    key = dst * num_nodes + src
+    order = np.argsort(key, kind='stable')
+    key, src, dst, w = key[order], src[order], dst[order], w[order]
+    if ef is not None:
+        ef = ef[order]
+    uniq, first_idx, inverse = np.unique(key, return_index=True,
+                                         return_inverse=True)
+    if uniq.shape[0] != key.shape[0]:
+        w = np.bincount(inverse, weights=w, minlength=uniq.shape[0])
+        if ef is not None:
+            ef = np.stack([np.bincount(inverse, weights=ef[:, j],
+                                       minlength=uniq.shape[0])
+                           for j in range(d_edge)], axis=1)
+        src, dst = src[first_idx], dst[first_idx]
+
+    E_real = src.shape[0]
+    in_deg = np.bincount(dst, weights=w, minlength=num_recipients)
+
+    if edge_weighting == 'gcn':
+        inv_sqrt = np.zeros(max(num_recipients, num_nodes))
+        deg_all = np.bincount(dst, weights=w,
+                              minlength=max(num_recipients, num_nodes))
+        with np.errstate(divide='ignore'):
+            inv_sqrt = 1.0 / np.sqrt(deg_all)
+        inv_sqrt[~np.isfinite(inv_sqrt)] = 0.0
+        w = w * inv_sqrt[dst] * inv_sqrt[src]
+
+    E_pad = pad_to if pad_to is not None else max(
+        _round_up(max(E_real, 1), pad_multiple), pad_multiple)
+    assert E_pad >= E_real, f'pad_to={E_pad} < real edge count {E_real}'
+    pad = E_pad - E_real
+    pad_seg = max(num_recipients - 1, 0)
+    src = np.concatenate([src, np.zeros(pad, np.int64)])
+    dst = np.concatenate([dst, np.full(pad, pad_seg, np.int64)])
+    w = np.concatenate([w, np.zeros(pad)])
+    if ef is not None:
+        ef = np.concatenate([ef, np.zeros((pad, d_edge))], axis=0)
+
+    row_ptr = np.zeros(num_recipients + 1, np.int64)
+    np.cumsum(np.bincount(dst, minlength=num_recipients), out=row_ptr[1:])
+
+    return Graph(
+        src=jnp.asarray(src, jnp.int32),
+        dst=jnp.asarray(dst, jnp.int32),
+        weight=jnp.asarray(w, dtype),
+        row_ptr=jnp.asarray(row_ptr, jnp.int32),
+        in_degrees=jnp.asarray(in_deg, dtype),
+        edge_feat=None if ef is None else jnp.asarray(ef, dtype),
+        num_nodes=int(num_nodes),
+        num_recipients=int(num_recipients),
+        num_edges=int(E_real),
+    )
+
+
+def readout_graph(graph_index, num_vertices: int,
+                  batch_size: Optional[int] = None,
+                  *, pad_multiple: int = 128, dtype=jnp.float32) -> Graph:
+    """Bipartite all-vertices-to-graph-node graph for global pooling.
+
+    Mirrors `FSW_readout.forward`'s adjacency construction
+    (fsw_conv.py:453-504): an edge of weight 1 from every vertex to the
+    global node of its graph; requires `graph_index` sorted non-decreasing.
+    """
+    gi = np.asarray(graph_index, np.int64)
+    assert gi.shape == (num_vertices,)
+    assert np.all(np.diff(gi) >= 0), 'graph_index must be monotone non-decreasing'
+    batch_size = int(gi.max()) + 1 if batch_size is None else int(batch_size)
+    src = np.arange(num_vertices, dtype=np.int64)
+    edge_index = np.stack([src, gi])
+    return from_edge_index(edge_index, num_nodes=num_vertices,
+                           num_recipients=batch_size,
+                           pad_multiple=pad_multiple, dtype=dtype)

@@ -1,0 +1,362 @@
+"""Parity tests of the JAX FSW embedding vs the PyTorch reference (CPU, f64).
+
+The reference dense path (fsw_embedding.py:983-1004) and sparse path
+(py:1005-1110) are the golden models; parameters (proj vectors, freqs, bias)
+are injected identically into both implementations.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from _reference import make_reference_embedding
+from fsw_gnn_tpu import (FSWConfig, fsw_embed_multiset, fsw_embed_graph,
+                         fsw_embed_graph_dense, from_edge_index)
+
+ATOL = 1e-10
+RTOL = 1e-8
+
+
+def _inject(ref_mod, proj, freqs, bias=None, tm_scale=None):
+    sd = ref_mod.state_dict()
+    sd['projVecs'] = torch.from_numpy(np.asarray(proj))
+    sd['freqs'] = torch.from_numpy(np.asarray(freqs))
+    if bias is not None and 'bias' in sd:
+        sd['bias'] = torch.from_numpy(np.asarray(bias))
+    if tm_scale is not None and 'total_mass_encoding_scale' in sd:
+        sd['total_mass_encoding_scale'] = torch.tensor(float(tm_scale),
+                                                       dtype=torch.float64)
+    ref_mod.load_state_dict(sd)
+
+
+def _rand_params(rng, cfg: FSWConfig, bias=True):
+    proj = rng.standard_normal((cfg.nSlices, cfg.proj_dim))
+    proj /= np.linalg.norm(proj, axis=1, keepdims=True)
+    freqs = np.abs(rng.standard_normal(cfg.nFreqs)) + 0.1
+    b = None
+    if bias and cfg.enable_bias:
+        from fsw_gnn_tpu.params import bias_shape
+        b = rng.standard_normal(bias_shape(cfg))
+    return proj, freqs, b
+
+
+# ---------------------------------------------------------------------------
+# Dense multiset path
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('batch_dims', [(), (3,), (2, 3)])
+def test_multiset_parity(batch_dims):
+    rng = np.random.default_rng(0)
+    n, d_in, d_out = 17, 5, 9
+    cfg = FSWConfig(d_in=d_in, d_out=d_out)
+    proj, freqs, bias = _rand_params(rng, cfg)
+
+    X = rng.standard_normal(batch_dims + (n, d_in))
+    W = np.abs(rng.standard_normal(batch_dims + (n,))) + 0.05
+
+    ref = make_reference_embedding(d_in=d_in, d_out=d_out)
+    _inject(ref, proj, freqs, bias)
+    want = ref(torch.from_numpy(X), torch.from_numpy(W)).detach().numpy()
+
+    got = fsw_embed_multiset(jnp.asarray(X), jnp.asarray(W), jnp.asarray(proj),
+                             jnp.asarray(freqs), cfg, bias=jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+def test_multiset_unit_weights_and_pad():
+    """'unit' weights; small weights trigger the total-mass phantom pad."""
+    rng = np.random.default_rng(1)
+    n, d_in, d_out = 8, 4, 6
+    cfg = FSWConfig(d_in=d_in, d_out=d_out, enable_bias=False)
+    proj, freqs, _ = _rand_params(rng, cfg, bias=False)
+    X = rng.standard_normal((n, d_in))
+
+    ref = make_reference_embedding(d_in=d_in, d_out=d_out, enable_bias=False)
+    _inject(ref, proj, freqs)
+
+    # unit weights
+    want = ref(torch.from_numpy(X)).detach().numpy()
+    got = fsw_embed_multiset(jnp.asarray(X), None, jnp.asarray(proj),
+                             jnp.asarray(freqs), cfg)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+    # weights summing below the pad threshold -> phantom point active
+    W = np.abs(rng.standard_normal((3, n))) * 0.05
+    want = ref(torch.from_numpy(np.broadcast_to(X, (3, n, d_in)).copy()),
+               torch.from_numpy(W)).detach().numpy()
+    got = fsw_embed_multiset(jnp.asarray(np.broadcast_to(X, (3, n, d_in))),
+                             jnp.asarray(W), jnp.asarray(proj),
+                             jnp.asarray(freqs), cfg)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize('collapse', [False, True])
+def test_multiset_cartesian_parity(collapse):
+    rng = np.random.default_rng(2)
+    n, d_in, nS, nF = 11, 3, 5, 4
+    cfg = FSWConfig(d_in=d_in, n_slices=nS, n_freqs=nF, collapse_freqs=collapse)
+    proj, freqs, bias = _rand_params(rng, cfg)
+    X = rng.standard_normal((2, n, d_in))
+    W = np.abs(rng.standard_normal((2, n))) + 0.1
+
+    ref = make_reference_embedding(d_in=d_in, d_out=None, nSlices=nS, nFreqs=nF,
+                                   collapse_freqs=collapse)
+    _inject(ref, proj, freqs, bias)
+    want = ref(torch.from_numpy(X), torch.from_numpy(W)).detach().numpy()
+    got = fsw_embed_multiset(jnp.asarray(X), jnp.asarray(W), jnp.asarray(proj),
+                             jnp.asarray(freqs), cfg, bias=jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize('fn', ['identity', 'sqrt', 'log'])
+@pytest.mark.parametrize('method', ['plain', 'homog', 'homog_alt'])
+def test_total_mass_encoding_parity(fn, method):
+    rng = np.random.default_rng(3)
+    n, d_in, d_out = 9, 4, 7
+    cfg = FSWConfig(d_in=d_in, d_out=d_out, encode_total_mass=True,
+                    total_mass_encoding_function=fn,
+                    total_mass_encoding_method=method,
+                    total_mass_encoding_scale=1.7)
+    proj, freqs, bias = _rand_params(rng, cfg)
+    X = rng.standard_normal((4, n, d_in))
+    W = np.abs(rng.standard_normal((4, n))) * 0.5  # some below pad thresh
+
+    ref = make_reference_embedding(d_in=d_in, d_out=d_out,
+                                   encode_total_mass=True,
+                                   total_mass_encoding_function=fn,
+                                   total_mass_encoding_method=method,
+                                   total_mass_encoding_scale=1.7)
+    _inject(ref, proj, freqs, bias, tm_scale=1.7)
+    want = ref(torch.from_numpy(X), torch.from_numpy(W)).detach().numpy()
+    got = fsw_embed_multiset(jnp.asarray(X), jnp.asarray(W), jnp.asarray(proj),
+                             jnp.asarray(freqs), cfg, bias=jnp.asarray(bias),
+                             total_mass_scale=jnp.asarray(1.7))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# Graph mode: CSR path vs reference sparse path
+# ---------------------------------------------------------------------------
+
+def _random_graph(rng, n, p=0.3):
+    A = rng.random((n, n)) < p
+    np.fill_diagonal(A, False)
+    src, dst = np.nonzero(A)
+    # reference convention: edge_index[0]=src, [1]=dst; adj[dst, src] = w
+    return np.stack([src, dst]).astype(np.int64)
+
+
+def _ref_sparse_W(edge_index, n, dtype=torch.float64):
+    idx = torch.from_numpy(np.stack([edge_index[1], edge_index[0]]))
+    vals = torch.ones(edge_index.shape[1], dtype=dtype)
+    return torch.sparse_coo_tensor(idx, vals, (n, n)).coalesce()
+
+
+def test_graph_csr_parity_sparse_reference():
+    rng = np.random.default_rng(4)
+    n, d_in, d_out = 30, 6, 10
+    cfg = FSWConfig(d_in=d_in, d_out=d_out)
+    proj, freqs, bias = _rand_params(rng, cfg)
+    X = rng.standard_normal((n, d_in))
+    edge_index = _random_graph(rng, n)
+
+    ref = make_reference_embedding(d_in=d_in, d_out=d_out)
+    _inject(ref, proj, freqs, bias)
+    W = _ref_sparse_W(edge_index, n)
+    want = ref(torch.from_numpy(X), W, graph_mode=True).detach().numpy()
+
+    g = from_edge_index(edge_index, n, dtype=jnp.float64)
+    got = fsw_embed_graph(jnp.asarray(X), g, jnp.asarray(proj),
+                          jnp.asarray(freqs), cfg, bias=jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+def test_graph_csr_with_edge_features():
+    rng = np.random.default_rng(5)
+    n, d_in, d_edge, d_out = 20, 5, 3, 8
+    cfg = FSWConfig(d_in=d_in, d_out=d_out, d_edge=d_edge)
+    proj, freqs, bias = _rand_params(rng, cfg)
+    X = rng.standard_normal((n, d_in))
+    edge_index = _random_graph(rng, n)
+    E = edge_index.shape[1]
+    EF = rng.standard_normal((E, d_edge))
+
+    ref = make_reference_embedding(d_in=d_in, d_out=d_out, d_edge=d_edge)
+    _inject(ref, proj, freqs, bias)
+    W = _ref_sparse_W(edge_index, n)
+    # X_edge sparse, same pattern as W; values must follow W's coalesced order
+    key = edge_index[1] * n + edge_index[0]
+    order = np.argsort(key, kind='stable')
+    idx = torch.from_numpy(np.stack([edge_index[1], edge_index[0]])[:, order])
+    X_edge = torch.sparse_coo_tensor(idx, torch.from_numpy(EF[order]),
+                                     (n, n, d_edge)).coalesce()
+    want = ref(torch.from_numpy(X), W, X_edge=X_edge,
+               graph_mode=True).detach().numpy()
+
+    g = from_edge_index(edge_index, n, edge_features=EF, dtype=jnp.float64)
+    got = fsw_embed_graph(jnp.asarray(X), g, jnp.asarray(proj),
+                          jnp.asarray(freqs), cfg, bias=jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+def test_graph_dense_parity():
+    """Dense-W graph mode vs reference dense branch."""
+    rng = np.random.default_rng(6)
+    n, R, d_in, d_out = 12, 7, 4, 6
+    cfg = FSWConfig(d_in=d_in, d_out=d_out)
+    proj, freqs, bias = _rand_params(rng, cfg)
+    X = rng.standard_normal((n, d_in))
+    W = np.abs(rng.standard_normal((R, n))) * (rng.random((R, n)) < 0.5)
+
+    ref = make_reference_embedding(d_in=d_in, d_out=d_out)
+    _inject(ref, proj, freqs, bias)
+    want = ref(torch.from_numpy(X), torch.from_numpy(W),
+               graph_mode=True).detach().numpy()
+    got = fsw_embed_graph_dense(jnp.asarray(X), jnp.asarray(W),
+                                jnp.asarray(proj), jnp.asarray(freqs), cfg,
+                                bias=jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+def test_graph_csr_slice_chunking_invariance():
+    """slice_chunk (serialize_num_slices analogue) must not change results."""
+    rng = np.random.default_rng(7)
+    n, d_in, d_out = 15, 4, 9
+    cfg = FSWConfig(d_in=d_in, d_out=d_out, enable_bias=False)
+    proj, freqs, _ = _rand_params(rng, cfg, bias=False)
+    X = rng.standard_normal((n, d_in))
+    g = from_edge_index(_random_graph(rng, n), n, dtype=jnp.float64)
+
+    full = fsw_embed_graph(jnp.asarray(X), g, jnp.asarray(proj),
+                           jnp.asarray(freqs), cfg)
+    chunked = fsw_embed_graph(jnp.asarray(X), g, jnp.asarray(proj),
+                              jnp.asarray(freqs), cfg, slice_chunk=4)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_graph_empty_neighborhoods():
+    """Nodes with no in-edges embed to the phantom-only measure (finite)."""
+    rng = np.random.default_rng(8)
+    n, d_in, d_out = 10, 3, 5
+    cfg = FSWConfig(d_in=d_in, d_out=d_out, enable_bias=False)
+    proj, freqs, _ = _rand_params(rng, cfg, bias=False)
+    X = rng.standard_normal((n, d_in))
+    # only edges into node 0
+    edge_index = np.array([[1, 2, 3], [0, 0, 0]])
+
+    ref = make_reference_embedding(d_in=d_in, d_out=d_out, enable_bias=False)
+    _inject(ref, proj, freqs)
+    W = _ref_sparse_W(edge_index, n)
+    want = ref(torch.from_numpy(X), W, graph_mode=True).detach().numpy()
+
+    g = from_edge_index(edge_index, n, dtype=jnp.float64)
+    got = fsw_embed_graph(jnp.asarray(X), g, jnp.asarray(proj),
+                          jnp.asarray(freqs), cfg)
+    assert np.all(np.isfinite(np.asarray(got)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# Gradients
+# ---------------------------------------------------------------------------
+
+def test_gradient_parity_multiset():
+    rng = np.random.default_rng(9)
+    n, d_in, d_out = 10, 4, 7
+    cfg = FSWConfig(d_in=d_in, d_out=d_out, enable_bias=False)
+    proj, freqs, _ = _rand_params(rng, cfg, bias=False)
+    X = rng.standard_normal((n, d_in))
+    W = np.abs(rng.standard_normal((n,))) * 0.4  # triggers padding
+    Rv = rng.standard_normal((d_out,))
+
+    ref = make_reference_embedding(d_in=d_in, d_out=d_out, enable_bias=False)
+    _inject(ref, proj, freqs)
+    Xt = torch.from_numpy(X).requires_grad_(True)
+    Wt = torch.from_numpy(W).requires_grad_(True)
+    ref.projVecs.requires_grad_(True)
+    ref.freqs.requires_grad_(True)
+    loss = (ref(Xt, Wt) * torch.from_numpy(Rv)).sum()
+    loss.backward()
+
+    def loss_fn(X_, W_, proj_, freqs_):
+        e = fsw_embed_multiset(X_, W_, proj_, freqs_, cfg)
+        return jnp.sum(e * jnp.asarray(Rv))
+
+    gX, gW, gP, gF = jax.grad(loss_fn, argnums=(0, 1, 2, 3))(
+        jnp.asarray(X), jnp.asarray(W), jnp.asarray(proj), jnp.asarray(freqs))
+    np.testing.assert_allclose(np.asarray(gX), Xt.grad.numpy(), rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gW), Wt.grad.numpy(), rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gP), ref.projVecs.grad.numpy(),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gF), ref.freqs.grad.numpy(),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_gradient_parity_graph_csr():
+    rng = np.random.default_rng(10)
+    n, d_in, d_out = 14, 3, 6
+    cfg = FSWConfig(d_in=d_in, d_out=d_out, enable_bias=False)
+    proj, freqs, _ = _rand_params(rng, cfg, bias=False)
+    X = rng.standard_normal((n, d_in))
+    edge_index = _random_graph(rng, n)
+    Rv = rng.standard_normal((n, d_out))
+
+    ref = make_reference_embedding(d_in=d_in, d_out=d_out, enable_bias=False)
+    _inject(ref, proj, freqs)
+    Xt = torch.from_numpy(X).requires_grad_(True)
+    W = _ref_sparse_W(edge_index, n)
+    ref.projVecs.requires_grad_(True)
+    loss = (ref(Xt, W, graph_mode=True) * torch.from_numpy(Rv)).sum()
+    loss.backward()
+
+    g = from_edge_index(edge_index, n, dtype=jnp.float64)
+
+    def loss_fn(X_, proj_):
+        e = fsw_embed_graph(X_, g, proj_, jnp.asarray(freqs), cfg)
+        return jnp.sum(e * jnp.asarray(Rv))
+
+    gX, gP = jax.grad(loss_fn, argnums=(0, 1))(jnp.asarray(X), jnp.asarray(proj))
+    np.testing.assert_allclose(np.asarray(gX), Xt.grad.numpy(), rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gP), ref.projVecs.grad.numpy(),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_permutation_invariance():
+    """Embedding must be invariant to permuting the multiset elements."""
+    rng = np.random.default_rng(11)
+    n, d_in, d_out = 13, 5, 8
+    cfg = FSWConfig(d_in=d_in, d_out=d_out, enable_bias=False)
+    proj, freqs, _ = _rand_params(rng, cfg, bias=False)
+    X = rng.standard_normal((n, d_in))
+    W = np.abs(rng.standard_normal((n,))) + 0.1
+    perm = rng.permutation(n)
+    a = fsw_embed_multiset(jnp.asarray(X), jnp.asarray(W), jnp.asarray(proj),
+                           jnp.asarray(freqs), cfg)
+    b = fsw_embed_multiset(jnp.asarray(X[perm]), jnp.asarray(W[perm]),
+                           jnp.asarray(proj), jnp.asarray(freqs), cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12)
+
+
+def test_distance_law():
+    """||emb(X1)-emb(X2)|| ~= sqrt(d_out) * SW(X1, X2) (fsw_embedding.py:124-129).
+
+    For 1-D inputs with uniform weights, SW == W1 distance of sorted values.
+    """
+    rng = np.random.default_rng(12)
+    n, d_out = 50, 4000
+    cfg = FSWConfig(d_in=1, d_out=d_out, enable_bias=False)
+    proj = np.ones((cfg.nSlices, 1))
+    from fsw_gnn_tpu.params import generate_freqs
+    freqs = np.asarray(generate_freqs(jax.random.PRNGKey(0), cfg))
+    X1 = np.sort(rng.standard_normal((n, 1)), axis=0)
+    X2 = np.sort(rng.standard_normal((n, 1)), axis=0)
+    e1 = fsw_embed_multiset(jnp.asarray(X1), None, jnp.asarray(proj),
+                            jnp.asarray(freqs), cfg)
+    e2 = fsw_embed_multiset(jnp.asarray(X2), None, jnp.asarray(proj),
+                            jnp.asarray(freqs), cfg)
+    emb_dist = np.linalg.norm(np.asarray(e1 - e2)) / np.sqrt(d_out)
+    w1 = np.mean(np.abs(X1 - X2))
+    # Monte-Carlo frequency quadrature: tolerance is loose by construction
+    assert abs(emb_dist - w1) / w1 < 0.25
