@@ -14,5 +14,8 @@ from .params import generate_params, generate_freqs, generate_proj_vecs
 from .ops.coherence import minimize_mutual_coherence, mutual_coherence
 from .ops.segment import (segment_cumsum, segment_sort, segment_sum,
                           segment_argsort)
+from .modules import FSWEmbedding
+from .conv import FSWConv, FSWReadout
+from .models import FSWGNN, FSWGraphClassifier
 
 __version__ = '0.1.0'

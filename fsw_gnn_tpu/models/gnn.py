@@ -1,0 +1,89 @@
+"""Stacked FSW-GNN models.
+
+The reference exposes only the single layers (registered into GraphGym,
+fsw_conv.py:54, 451) and leaves model assembly to user configs; these are the
+standard assemblies the BASELINE configs call for: an N-layer node-classifier
+(Cora/Citeseer/ogbn) and a graph-level classifier with FSW readout pooling.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..conv import FSWConv, FSWReadout, leaky_relu_02
+from ..graph import Graph
+
+
+class FSWGNN(nn.Module):
+    """N-layer FSW-GNN for node-level prediction.
+
+    hidden_dims: feature dims after each conv layer; the last entry is the
+    output dim (e.g. num_classes for node classification).
+    """
+    in_channels: int
+    hidden_dims: Sequence[int]
+    edgefeat_dim: int = 0
+    minimize_slice_coherence: bool = True
+    encode_vertex_degrees: bool = True
+    homog_degree_encoding: bool = False
+    mlp_layers: int = 1
+    bias: bool = True
+    dropout: float = 0.0
+    batchnorm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, vertex_features, graph: Graph, *, train: bool = False):
+        x = vertex_features
+        d_in = self.in_channels
+        for i, d_out in enumerate(self.hidden_dims):
+            is_last = i == len(self.hidden_dims) - 1
+            x = FSWConv(
+                in_channels=d_in,
+                out_channels=d_out,
+                edgefeat_dim=self.edgefeat_dim if i == 0 else 0,
+                minimize_slice_coherence=self.minimize_slice_coherence,
+                encode_vertex_degrees=self.encode_vertex_degrees,
+                homog_degree_encoding=self.homog_degree_encoding,
+                mlp_layers=self.mlp_layers,
+                bias=self.bias,
+                mlp_activation_final=None if is_last else leaky_relu_02,
+                batchnorm_final=self.batchnorm and not is_last,
+                dropout_final=0.0 if is_last else self.dropout,
+                dtype=self.dtype,
+                name=f'conv_{i}')(x, graph, train=train)
+            d_in = d_out
+        return x
+
+
+class FSWGraphClassifier(nn.Module):
+    """Conv stack + FSW readout pooling + classification head."""
+    in_channels: int
+    hidden_dims: Sequence[int]
+    num_classes: int
+    readout_dim: Optional[int] = None
+    minimize_slice_coherence: bool = True
+    mlp_layers: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, vertex_features, graph: Graph, pool_graph: Graph, *,
+                 train: bool = False):
+        x = FSWGNN(in_channels=self.in_channels,
+                   hidden_dims=self.hidden_dims,
+                   minimize_slice_coherence=self.minimize_slice_coherence,
+                   mlp_layers=self.mlp_layers,
+                   dtype=self.dtype, name='gnn')(vertex_features, graph,
+                                                 train=train)
+        rd = self.readout_dim or self.hidden_dims[-1]
+        pooled = FSWReadout(
+            in_channels=self.hidden_dims[-1],
+            out_channels=rd,
+            concat_self=False,
+            minimize_slice_coherence=self.minimize_slice_coherence,
+            mlp_layers=self.mlp_layers,
+            dtype=self.dtype, name='readout')(x, pool_graph, train=train)
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        name='cls_head')(pooled)

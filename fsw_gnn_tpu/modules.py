@@ -1,0 +1,74 @@
+"""Flax modules wrapping the functional FSW embedding core.
+
+Parameter semantics follow the reference `FSW_embedding` nn.Module
+(/root/reference/fsw_embedding.py:169-441): parameters `proj_vecs`, `freqs`,
+optional `bias` and `total_mass_scale`.  Non-learnable parameters (the
+reference's `requires_grad=False` nn.Parameters, py:397-409) live in the
+'fsw_fixed' variable collection so optimizers never touch them, the idiomatic
+flax equivalent.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .embedding import (FSWConfig, fsw_embed_graph, fsw_embed_graph_dense,
+                        fsw_embed_multiset)
+from .params import bias_shape, generate_freqs, generate_proj_vecs
+
+
+class FSWEmbedding(nn.Module):
+    """Fourier Sliced-Wasserstein embedding layer.
+
+    `cfg` is the static configuration (see `FSWConfig`).  Call with either a
+    dense multiset batch (X, W), a CSR `Graph` (graph mode), or a dense
+    adjacency (graph_mode=True with W of shape (..., R, n)).
+    """
+    cfg: FSWConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def _get(self, name, init_fn, learnable):
+        if learnable:
+            return self.param(name, init_fn)
+        v = self.variable('fsw_fixed', name, init_fn, self.make_rng('params')
+                          if self.is_initializing() else None)
+        return v.value
+
+    @nn.compact
+    def __call__(self, X, W=None, *, graph=None, X_edge=None,
+                 graph_mode: bool = False, w_mode: str = 'unit',
+                 slice_chunk: Optional[int] = None):
+        cfg = self.cfg
+        dt = self.dtype
+
+        proj = self._get('proj_vecs',
+                         lambda key: generate_proj_vecs(key, cfg, dt),
+                         cfg.learnable_slices)
+        freqs = self._get('freqs',
+                          lambda key: generate_freqs(key, cfg, dt),
+                          cfg.learnable_freqs)
+        bias = None
+        if cfg.enable_bias:
+            bias = self._get('bias',
+                             lambda key: jnp.zeros(bias_shape(cfg), dt),
+                             cfg.learnable_slices)
+        tm_scale = None
+        if cfg.encode_total_mass:
+            tm_scale = self._get(
+                'total_mass_scale',
+                lambda key: jnp.asarray(cfg.total_mass_encoding_scale, dt),
+                cfg.learnable_total_mass_encoding_scale)
+
+        if graph is not None:
+            return fsw_embed_graph(X, graph, proj, freqs, cfg, bias=bias,
+                                   total_mass_scale=tm_scale,
+                                   slice_chunk=slice_chunk)
+        if graph_mode:
+            return fsw_embed_graph_dense(X, W, proj, freqs, cfg,
+                                         X_edge=X_edge, bias=bias,
+                                         total_mass_scale=tm_scale)
+        return fsw_embed_multiset(X, W, proj, freqs, cfg, bias=bias,
+                                  total_mass_scale=tm_scale, w_mode=w_mode)
