@@ -92,7 +92,8 @@ class _MLPHead(nn.Module):
                 x = x @ dim_reduct.T
             if self.batchnorm_final:
                 x = nn.BatchNorm(use_running_average=not train,
-                                 dtype=self.dtype, name='bn_final')(x)
+                                 dtype=self.dtype, param_dtype=self.dtype,
+                                 name='bn_final')(x)
             return x
 
         for i in range(self.mlp_layers):
@@ -100,13 +101,15 @@ class _MLPHead(nn.Module):
             out_d = self.out_channels if is_final else self.mlp_hidden_dim
             x = nn.Dense(out_d, use_bias=self.bias,
                          kernel_init=_MLP_INITS[self.mlp_init],
+                         param_dtype=self.dtype,
                          bias_init=(nn.initializers.zeros
                                     if self.mlp_init is not None
                                     else _torch_linear_init()),
                          dtype=self.dtype, name=f'dense_{i}')(x)
             if (self.batchnorm_final if is_final else self.batchnorm_hidden):
                 x = nn.BatchNorm(use_running_average=not train,
-                                 dtype=self.dtype, name=f'bn_{i}')(x)
+                                 dtype=self.dtype, param_dtype=self.dtype,
+                                 name=f'bn_{i}')(x)
             act = self.activation_final if is_final else self.activation_hidden
             if act is not None:
                 x = act(x)
@@ -180,7 +183,12 @@ class FSWConv(nn.Module):
 
     @nn.compact
     def __call__(self, vertex_features, graph: Graph, *, train: bool = False,
-                 slice_chunk: Optional[int] = None):
+                 slice_chunk: Optional[int] = None, recipient_features=None):
+        """vertex_features: (N, d_in) sender features (N = graph.num_nodes).
+        recipient_features: (R, d_in) the recipients' own features for the
+        concat_self path; defaults to vertex_features (square graphs on one
+        device).  Under edge partitioning the senders are the all-gathered
+        padded-global matrix while recipients are the local shard."""
         mlp_hidden = (self.mlp_hidden_dim if self.mlp_hidden_dim is not None
                       else max(self.in_channels, self.out_channels))
 
@@ -189,8 +197,10 @@ class FSWConv(nn.Module):
             vertex_features, graph=graph, slice_chunk=slice_chunk)
 
         if self.concat_self:
+            self_feats = (vertex_features if recipient_features is None
+                          else recipient_features)
             emb = jnp.concatenate(
-                [self.message_weight_vs_self * emb, vertex_features], axis=-1)
+                [self.message_weight_vs_self * emb, self_feats], axis=-1)
 
         return _MLPHead(
             in_dim=emb.shape[-1],

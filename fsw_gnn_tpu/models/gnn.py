@@ -35,12 +35,19 @@ class FSWGNN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, vertex_features, graph: Graph, *, train: bool = False):
-        x = vertex_features
+    def __call__(self, vertex_features, graph: Graph, *, train: bool = False,
+                 gather_fn=None):
+        """gather_fn: assembles the full sender matrix from the local node
+        features between layers (identity on a single device; an ICI
+        all_gather under edge partitioning).  SPMD-transparent: the same
+        module runs single-chip and inside shard_map."""
+        gather = gather_fn if gather_fn is not None else (lambda x: x)
+        x_local = vertex_features
         d_in = self.in_channels
         for i, d_out in enumerate(self.hidden_dims):
             is_last = i == len(self.hidden_dims) - 1
-            x = FSWConv(
+            x_full = gather(x_local)
+            x_local = FSWConv(
                 in_channels=d_in,
                 out_channels=d_out,
                 edgefeat_dim=self.edgefeat_dim if i == 0 else 0,
@@ -53,9 +60,10 @@ class FSWGNN(nn.Module):
                 batchnorm_final=self.batchnorm and not is_last,
                 dropout_final=0.0 if is_last else self.dropout,
                 dtype=self.dtype,
-                name=f'conv_{i}')(x, graph, train=train)
+                name=f'conv_{i}')(x_full, graph, train=train,
+                                  recipient_features=x_local)
             d_in = d_out
-        return x
+        return x_local
 
 
 class FSWGraphClassifier(nn.Module):
@@ -86,4 +94,4 @@ class FSWGraphClassifier(nn.Module):
             mlp_layers=self.mlp_layers,
             dtype=self.dtype, name='readout')(x, pool_graph, train=train)
         return nn.Dense(self.num_classes, dtype=self.dtype,
-                        name='cls_head')(pooled)
+                        param_dtype=self.dtype, name='cls_head')(pooled)

@@ -1,0 +1,128 @@
+"""Distributed (multi-chip / multi-host) FSW-GNN execution.
+
+New TPU-native subsystem (the reference is single-process, single-GPU --
+SURVEY.md section 2.3).  Design per BASELINE.json north star:
+
+  * the graph is edge-partitioned (`partition.partition_graph`): each device
+    owns a contiguous recipient range and all its in-edges; node features
+    are stored in the matching padded per-shard layout (P, R_shard, d);
+  * before each message-passing layer the sender matrix is assembled over
+    ICI with `lax.all_gather` (the boundary feature exchange; the
+    all-to-all of only remotely-referenced rows slots in behind the same
+    `gather_fn` hook later);
+  * gradients are `psum`-reduced (the local loss is psum'd, so per-device
+    autodiff yields local contributions); the optimizer step is replicated.
+
+Everything is `jax.shard_map` over a 1-D mesh axis 'graph', composable under
+jit.  Multi-host runs initialize with `jax.distributed.initialize()`; the
+mesh then spans all processes and the same code runs unchanged (XLA routes
+ICI within a slice, DCN across hosts).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .partition import GraphShards
+
+
+def make_graph_mesh(num_devices: Optional[int] = None,
+                    axis_name: str = 'graph') -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    return jax.make_mesh((n,), (axis_name,), devices=devices[:n])
+
+
+def _shard_specs(shards: GraphShards) -> GraphShards:
+    """PartitionSpecs for the stacked [P, ...] shard arrays."""
+    return GraphShards(
+        src=P('graph'), dst=P('graph'), weight=P('graph'),
+        row_ptr=P('graph'), in_degrees=P('graph'),
+        recip_start=P('graph'), recip_count=P('graph'),
+        edge_feat=None if shards.edge_feat is None else P('graph'),
+        num_nodes=shards.num_nodes,
+        num_recipients=shards.num_recipients,
+        num_shards=shards.num_shards,
+        shard_num_recipients=shards.shard_num_recipients)
+
+
+def _local_graph(shards: GraphShards, local: GraphShards):
+    """Per-device local Graph inside shard_map (stacked axis is 1 on-device)."""
+    ef = None if local.edge_feat is None else local.edge_feat[0]
+    return shards.local_graph(local.src[0], local.dst[0], local.weight[0],
+                              local.row_ptr[0], local.in_degrees[0], ef)
+
+
+def masked_softmax_cross_entropy(logits, labels, mask):
+    """(sum of CE over masked rows, mask count) for psum-mean reduction."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return -jnp.sum(ll * mask), jnp.sum(mask)
+
+
+def _gather_fn(axis):
+    return lambda x: jax.lax.all_gather(x, axis, tiled=True)
+
+
+def make_distributed_train_step(model, optimizer: optax.GradientTransformation,
+                                shards: GraphShards, mesh: Mesh,
+                                fixed_collections: Optional[dict] = None,
+                                axis: str = 'graph') -> Callable:
+    """Jitted full-graph node-classification train step.
+
+    Step signature: (params, opt_state, X_stacked, shards, labels, mask)
+      X_stacked -- (P, R_shard, d_in) node features in shard layout,
+      labels/mask -- (P, R_shard) per-shard labels and float masks.
+    Returns (params, opt_state, loss).
+    """
+    fixed = dict(fixed_collections or {})
+
+    def local_loss(params, X_local, local_shards, labels, mask):
+        # returns this device's share of the global mean loss; the numerator
+        # stays local (no psum!) because transpose(psum) is psum -- a psum'd
+        # scalar would come back from autodiff carrying an extra factor P
+        g = _local_graph(shards, local_shards)
+        logits = model.apply({'params': params, **fixed}, X_local[0], g,
+                             gather_fn=_gather_fn(axis))
+        loss_sum, cnt = masked_softmax_cross_entropy(
+            logits, labels[0], mask[0])
+        cnt_total = jax.lax.psum(cnt, axis)   # mask: no gradient
+        return loss_sum / jnp.maximum(cnt_total, 1.0)
+
+    def step_impl(params, opt_state, X, shards_in, labels, mask):
+        loss_local, grads = jax.value_and_grad(local_loss)(
+            params, X, shards_in, labels, mask)
+        loss = jax.lax.psum(loss_local, axis)
+        grads = jax.lax.psum(grads, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    spec = _shard_specs(shards)
+    smapped = jax.shard_map(
+        step_impl, mesh=mesh,
+        in_specs=(P(), P(), P('graph'), spec, P('graph'), P('graph')),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    return jax.jit(smapped)
+
+
+def make_distributed_forward(model, shards: GraphShards, mesh: Mesh,
+                             variables, axis: str = 'graph') -> Callable:
+    """Jitted sharded inference over (P, R_shard, d) node features; returns
+    stacked (P, R_shard, out) recipient values."""
+    def fwd(X, local_shards):
+        g = _local_graph(shards, local_shards)
+        out = model.apply(variables, X[0], g, gather_fn=_gather_fn(axis))
+        return out[None]
+
+    spec = _shard_specs(shards)
+    smapped = jax.shard_map(fwd, mesh=mesh,
+                            in_specs=(P('graph'), spec),
+                            out_specs=P('graph'),
+                            check_vma=False)
+    return jax.jit(smapped)

@@ -1,0 +1,188 @@
+"""Edge partitioning of CSR graphs across a device mesh.
+
+The reference has no distributed runtime (SURVEY.md section 2.3); this is the
+new TPU-native component mandated by BASELINE.json: the graph is
+edge-partitioned across chips/hosts, with each shard owning a contiguous
+range of recipient (destination) nodes and *all* of their incoming edges.
+Because the global edge list is sorted by destination, every shard's edges
+are one contiguous slab -- the partition is a host-side slicing, no
+regrouping.
+
+Balancing: recipients are assigned greedily so each shard carries ~E/P
+edges.  All shards are padded to identical (E_shard, R_shard) so they stack
+into [P, ...] arrays consumable by shard_map.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..graph import Graph
+
+
+@struct.dataclass
+class GraphShards:
+    """P stacked, identically-shaped local graphs (leading axis = shard).
+
+    Node features live in the same padded per-shard layout as recipient
+    ownership: shard p stores rows [recip_start[p], recip_start[p]+count)
+    of the global feature matrix in a (R_shard, d) buffer (zero-padded), so
+    the all-gathered sender matrix is the uniform (P*R_shard, d) stack.
+    `src` is therefore in *padded-global* ids: owner*R_shard + local_row.
+    dst is *local* (shard-relative) recipient ids.
+    """
+    src: jax.Array          # (P, E_shard) int32, global sender ids
+    dst: jax.Array          # (P, E_shard) int32, local recipient ids
+    weight: jax.Array       # (P, E_shard)
+    row_ptr: jax.Array      # (P, R_shard + 1) int32
+    in_degrees: jax.Array   # (P, R_shard)
+    recip_start: jax.Array  # (P,) int32 global id of local recipient 0
+    recip_count: jax.Array  # (P,) int32 number of real recipients in shard
+    edge_feat: Optional[jax.Array] = None   # (P, E_shard, d_edge)
+    num_nodes: int = struct.field(pytree_node=False, default=0)
+    num_recipients: int = struct.field(pytree_node=False, default=0)
+    num_shards: int = struct.field(pytree_node=False, default=1)
+    shard_num_recipients: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def shard_num_edges(self) -> int:
+        return self.src.shape[1]
+
+    def local_graph(self, p_src, p_dst, p_weight, p_row_ptr, p_in_degrees,
+                    p_edge_feat=None) -> Graph:
+        """Assemble a local `Graph` from per-device slices (inside shard_map).
+
+        num_nodes is the padded-global sender count (P * R_shard), matching
+        the all-gathered feature matrix that `src` indexes into.
+        """
+        return Graph(src=p_src, dst=p_dst, weight=p_weight,
+                     row_ptr=p_row_ptr, in_degrees=p_in_degrees,
+                     edge_feat=p_edge_feat,
+                     num_nodes=self.num_shards * self.shard_num_recipients,
+                     num_recipients=self.shard_num_recipients,
+                     num_edges=self.shard_num_edges)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def partition_graph(graph: Graph, num_shards: int,
+                    pad_multiple: int = 128) -> GraphShards:
+    """Split a global CSR `Graph` into `num_shards` recipient-contiguous
+    shards balanced by edge count (host-side).
+
+    Requires a square graph (recipients == senders == nodes), the
+    message-passing case; sender ids are remapped into the padded per-shard
+    node layout (see GraphShards docstring)."""
+    assert graph.num_recipients == graph.num_nodes, (
+        'edge partitioning requires a square graph (num_recipients == '
+        'num_nodes); distribute readout separately')
+    row_ptr = np.asarray(graph.row_ptr, np.int64)
+    src = np.asarray(graph.src)
+    dst = np.asarray(graph.dst)
+    w = np.asarray(graph.weight)
+    indeg = np.asarray(graph.in_degrees)
+    ef = None if graph.edge_feat is None else np.asarray(graph.edge_feat)
+    R = graph.num_recipients
+    E_real = graph.num_edges
+
+    # greedy contiguous split of recipients targeting E_real/P edges/shard
+    target = E_real / num_shards
+    bounds = [0]
+    for p in range(1, num_shards):
+        # first recipient whose cumulative edge count exceeds p*target
+        b = int(np.searchsorted(row_ptr[:R + 1], p * target, side='left'))
+        b = max(bounds[-1], min(b, R))
+        bounds.append(b)
+    bounds.append(R)
+
+    R_shard = max(_round_up(max(bounds[p + 1] - bounds[p]
+                                for p in range(num_shards)), 8), 8)
+    E_shard = max(_round_up(max(int(row_ptr[bounds[p + 1]] -
+                                    row_ptr[bounds[p]])
+                                for p in range(num_shards)), pad_multiple),
+                  pad_multiple)
+
+    d_edge = graph.d_edge
+    P = num_shards
+    o_src = np.zeros((P, E_shard), np.int32)
+    o_dst = np.full((P, E_shard), R_shard - 1, np.int32)
+    o_w = np.zeros((P, E_shard), w.dtype)
+    o_rp = np.zeros((P, R_shard + 1), np.int32)
+    o_deg = np.zeros((P, R_shard), indeg.dtype)
+    o_ef = np.zeros((P, E_shard, d_edge), ef.dtype) if ef is not None else None
+    starts = np.zeros(P, np.int32)
+    counts = np.zeros(P, np.int32)
+
+    # map each global node id to its padded-global id owner*R_shard + local
+    bounds_arr = np.asarray(bounds[1:-1], np.int64)
+    owner_of = np.searchsorted(bounds_arr, np.arange(R), side='right')
+    padded_id = (owner_of * R_shard +
+                 (np.arange(R) - np.asarray(bounds)[owner_of])).astype(np.int64)
+
+    for p in range(P):
+        r0, r1 = bounds[p], bounds[p + 1]
+        e0, e1 = int(row_ptr[r0]), int(row_ptr[r1])
+        ne, nr = e1 - e0, r1 - r0
+        starts[p] = r0
+        counts[p] = nr
+        o_src[p, :ne] = padded_id[src[e0:e1]]
+        o_dst[p, :ne] = dst[e0:e1] - r0
+        o_w[p, :ne] = w[e0:e1]
+        if ef is not None:
+            o_ef[p, :ne] = ef[e0:e1]
+        rp = row_ptr[r0:r1 + 1] - e0
+        o_rp[p, :nr + 1] = rp
+        o_rp[p, nr + 1:] = ne
+        o_deg[p, :nr] = indeg[r0:r1]
+
+    return GraphShards(
+        src=jnp.asarray(o_src), dst=jnp.asarray(o_dst),
+        weight=jnp.asarray(o_w), row_ptr=jnp.asarray(o_rp),
+        in_degrees=jnp.asarray(o_deg),
+        recip_start=jnp.asarray(starts), recip_count=jnp.asarray(counts),
+        edge_feat=None if o_ef is None else jnp.asarray(o_ef),
+        num_nodes=graph.num_nodes, num_recipients=R, num_shards=P,
+        shard_num_recipients=R_shard)
+
+
+def shard_node_features(X, shards: GraphShards) -> jax.Array:
+    """Lay out global node features (N, d) into the padded per-shard stack
+    (P, R_shard, d) matching `shards`' ownership (host-side)."""
+    X = np.asarray(X)
+    P, R_shard = shards.num_shards, shards.shard_num_recipients
+    out = np.zeros((P, R_shard) + X.shape[1:], X.dtype)
+    starts = np.asarray(shards.recip_start)
+    counts = np.asarray(shards.recip_count)
+    for p in range(P):
+        out[p, :counts[p]] = X[starts[p]:starts[p] + counts[p]]
+    return jnp.asarray(out)
+
+
+def unshard_recipient_values(stacked, shards: GraphShards) -> np.ndarray:
+    """Inverse of the per-shard layout: (P, R_shard, ...) -> (R, ...)."""
+    stacked = np.asarray(jax.device_get(stacked))
+    counts = np.asarray(shards.recip_count)
+    parts = [stacked[p, :counts[p]] for p in range(shards.num_shards)]
+    return np.concatenate(parts, axis=0)
+
+
+def shard_recipient_labels(y, mask, shards: GraphShards):
+    """Lay out labels (R,) and a float mask (R,) into (P, R_shard) stacks."""
+    y = np.asarray(y)
+    mask = np.asarray(mask, np.float32)
+    P, R_shard = shards.num_shards, shards.shard_num_recipients
+    labels = np.zeros((P, R_shard), np.int32)
+    m = np.zeros((P, R_shard), np.float32)
+    starts = np.asarray(shards.recip_start)
+    counts = np.asarray(shards.recip_count)
+    for p in range(P):
+        c = counts[p]
+        labels[p, :c] = y[starts[p]:starts[p] + c]
+        m[p, :c] = mask[starts[p]:starts[p] + c]
+    return jnp.asarray(labels), jnp.asarray(m)

@@ -1,0 +1,147 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh: edge-partitioned
+forward parity vs single-device, and a full distributed train step."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from fsw_gnn_tpu import FSWGNN, from_edge_index
+from fsw_gnn_tpu.parallel import (make_distributed_forward,
+                                  make_distributed_train_step,
+                                  make_graph_mesh, partition_graph,
+                                  shard_node_features,
+                                  shard_recipient_labels,
+                                  unshard_recipient_values)
+
+
+def _random_graph(rng, n, p=0.2):
+    A = rng.random((n, n)) < p
+    np.fill_diagonal(A, False)
+    src, dst = np.nonzero(A)
+    return np.stack([src, dst]).astype(np.int64)
+
+
+def test_partition_covers_all_edges():
+    rng = np.random.default_rng(0)
+    n = 100
+    g = from_edge_index(_random_graph(rng, n), n, dtype=jnp.float64)
+    shards = partition_graph(g, 8)
+    assert shards.num_shards == 8
+    total_w = float(np.asarray(shards.weight).sum())
+    np.testing.assert_allclose(total_w, float(np.asarray(g.weight).sum()),
+                               rtol=1e-12)
+    assert int(np.asarray(shards.recip_count).sum()) == n
+
+
+def test_node_feature_layout_roundtrip():
+    rng = np.random.default_rng(1)
+    n = 70
+    g = from_edge_index(_random_graph(rng, n), n, dtype=jnp.float64)
+    shards = partition_graph(g, 8)
+    X = rng.standard_normal((n, 5))
+    stacked = shard_node_features(X, shards)
+    back = unshard_recipient_values(stacked, shards)
+    np.testing.assert_array_equal(back, X)
+
+
+@pytest.mark.parametrize('num_devices', [4, 8])
+def test_distributed_forward_matches_single_device(num_devices):
+    rng = np.random.default_rng(2)
+    n, d_in, d_out = 64, 6, 5
+    edge_index = _random_graph(rng, n)
+    g = from_edge_index(edge_index, n, dtype=jnp.float32)
+    X = rng.standard_normal((n, d_in)).astype(np.float32)
+
+    model = FSWGNN(in_channels=d_in, hidden_dims=(8, d_out),
+                   minimize_slice_coherence=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X), g)
+    want = np.asarray(model.apply(variables, jnp.asarray(X), g))
+
+    mesh = make_graph_mesh(num_devices)
+    shards = partition_graph(g, num_devices)
+    Xs = shard_node_features(X, shards)
+    fwd = make_distributed_forward(model, shards, mesh, variables)
+    got = unshard_recipient_values(fwd(Xs, shards), shards)
+    # f32: the global-cumsum-minus-segment-base trick makes the absolute
+    # rounding error depend on where in the edge array a segment sits, so
+    # shard-local vs global execution differ at the 1e-3-relative level
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_distributed_train_step_runs_and_improves():
+    rng = np.random.default_rng(3)
+    n, d_in, n_classes = 48, 5, 3
+    edge_index = _random_graph(rng, n)
+    g = from_edge_index(edge_index, n, dtype=jnp.float32)
+    X = rng.standard_normal((n, d_in)).astype(np.float32)
+    y = rng.integers(0, n_classes, n)
+
+    model = FSWGNN(in_channels=d_in, hidden_dims=(8, n_classes),
+                   minimize_slice_coherence=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X), g)
+    params = variables['params']
+    fixed = {k: v for k, v in variables.items() if k != 'params'}
+
+    Pn = 8
+    mesh = make_graph_mesh(Pn)
+    shards = partition_graph(g, Pn)
+    Xs = shard_node_features(X, shards)
+    labels, mask = shard_recipient_labels(y, np.ones(n), shards)
+
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(params)
+    step = make_distributed_train_step(model, opt, shards, mesh,
+                                       fixed_collections=fixed)
+
+    losses = []
+    p_, s_ = params, opt_state
+    for _ in range(30):
+        p_, s_, loss = step(p_, s_, Xs, shards, labels, mask)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses[::10]
+
+
+def test_distributed_grads_match_single_device():
+    """One distributed SGD step == one single-device SGD step (exact grads)."""
+    rng = np.random.default_rng(4)
+    n, d_in, n_classes = 32, 4, 3
+    g = from_edge_index(_random_graph(rng, n), n, dtype=jnp.float64)
+    X = rng.standard_normal((n, d_in))
+    y = rng.integers(0, n_classes, n)
+
+    model = FSWGNN(in_channels=d_in, hidden_dims=(n_classes,),
+                   minimize_slice_coherence=False, dtype=jnp.float64)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X), g)
+    params = variables['params']
+    fixed = {k: v for k, v in variables.items() if k != 'params'}
+
+    from fsw_gnn_tpu.parallel.dist import masked_softmax_cross_entropy
+
+    def single_loss(params):
+        logits = model.apply({'params': params, **fixed}, jnp.asarray(X), g)
+        s, c = masked_softmax_cross_entropy(logits, jnp.asarray(y),
+                                            jnp.ones(n))
+        return s / c
+
+    g_single = jax.grad(single_loss)(params)
+
+    Pn = 4
+    mesh = make_graph_mesh(Pn)
+    shards = partition_graph(g, Pn)
+    Xs = shard_node_features(np.asarray(X), shards)
+    labels, mask = shard_recipient_labels(y, np.ones(n), shards)
+
+    opt = optax.sgd(1.0)
+    step = make_distributed_train_step(model, opt, shards, mesh,
+                                       fixed_collections=fixed)
+    p_new, _, loss = step(params, opt.init(params), Xs, shards, labels,
+                          jnp.asarray(mask, jnp.float64))
+    g_dist = jax.tree_util.tree_map(lambda a, b: a - b, params, p_new)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-8, atol=1e-10),
+        g_single, g_dist)
+    np.testing.assert_allclose(float(loss), float(single_loss(params)),
+                               rtol=1e-10)
