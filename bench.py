@@ -1,0 +1,109 @@
+"""Benchmark: FSW_conv forward+backward edges/sec on one chip.
+
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The workload is the demo_conv-equivalent scaled to a production shard: a
+random graph with ~128k edges, 64-dim vertex features, a 3-layer-MLP FSW_conv
+(embed_dim 128), full forward+backward+SGD step.  Steps are looped inside a
+single jit (lax.fori_loop) so tunnel dispatch latency does not pollute the
+measurement; the metric is real edges processed per second per chip.
+
+vs_baseline compares against bench_baseline.json when present (committed
+once measured), else 1.0.  The reference publishes no numbers (BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+def _env_int(name, default):
+    return int(os.environ.get(name, default))
+
+
+N_NODES = _env_int('FSW_BENCH_NODES', 8192)
+AVG_DEG = _env_int('FSW_BENCH_DEG', 16)
+D_IN = _env_int('FSW_BENCH_DIN', 64)
+D_OUT = _env_int('FSW_BENCH_DOUT', 64)
+STEPS_PER_CALL = _env_int('FSW_BENCH_STEPS', 20)
+WARMUP_CALLS = _env_int('FSW_BENCH_WARMUP', 1)
+TIMED_CALLS = _env_int('FSW_BENCH_CALLS', 3)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from fsw_gnn_tpu import FSWConv, from_edge_index
+
+    rng = np.random.default_rng(0)
+    E = N_NODES * AVG_DEG
+    src = rng.integers(0, N_NODES, E)
+    dst = rng.integers(0, N_NODES, E)
+    keep = src != dst
+    edge_index = np.stack([src[keep], dst[keep]])
+    g = from_edge_index(edge_index, N_NODES, dtype=jnp.float32)
+    E_real = g.num_edges
+
+    X = jnp.asarray(rng.standard_normal((N_NODES, D_IN)), jnp.float32)
+
+    model = FSWConv(in_channels=D_IN, out_channels=D_OUT, mlp_layers=3,
+                    minimize_slice_coherence=False)
+    variables = model.init(jax.random.PRNGKey(0), X, g)
+    params = variables['params']
+    fixed = {k: v for k, v in variables.items() if k != 'params'}
+
+    opt = optax.sgd(1e-3)
+    opt_state = opt.init(params)
+
+    def loss_fn(params, X):
+        out = model.apply({'params': params, **fixed}, X, g)
+        return jnp.sum(out * out)
+
+    def one_step(carry, _):
+        params, opt_state = carry
+        _, grads = jax.value_and_grad(loss_fn)(params, X)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), None
+
+    @jax.jit
+    def run(params, opt_state):
+        (params, opt_state), _ = jax.lax.scan(
+            one_step, (params, opt_state), None, length=STEPS_PER_CALL)
+        return params, opt_state
+
+    p, s = params, opt_state
+    for _ in range(WARMUP_CALLS):
+        p, s = jax.block_until_ready(run(p, s))
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_CALLS):
+        p, s = jax.block_until_ready(run(p, s))
+    dt = time.perf_counter() - t0
+
+    steps = STEPS_PER_CALL * TIMED_CALLS
+    edges_per_sec = E_real * steps / dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 'bench_baseline.json')
+    vs = 1.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f).get('edges_per_sec')
+        if base:
+            vs = edges_per_sec / base
+
+    print(json.dumps({
+        'metric': 'fsw_conv_fwd_bwd_edges_per_sec',
+        'value': round(edges_per_sec, 1),
+        'unit': 'edges/s/chip',
+        'vs_baseline': round(vs, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

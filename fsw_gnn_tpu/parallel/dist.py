@@ -51,10 +51,20 @@ def _shard_specs(shards: GraphShards) -> GraphShards:
 
 
 def _local_graph(shards: GraphShards, local: GraphShards):
-    """Per-device local Graph inside shard_map (stacked axis is 1 on-device)."""
+    """Per-device local Graph inside shard_map (stacked axis is 1 on-device).
+
+    Only *static* metadata is read from `shards` -- capturing its (sharded)
+    arrays in the closure would trip shard_map's no-closed-over-sharded-
+    inputs rule; all array data comes from `local`, the shard_map argument.
+    """
+    from ..graph import Graph
     ef = None if local.edge_feat is None else local.edge_feat[0]
-    return shards.local_graph(local.src[0], local.dst[0], local.weight[0],
-                              local.row_ptr[0], local.in_degrees[0], ef)
+    return Graph(src=local.src[0], dst=local.dst[0], weight=local.weight[0],
+                 row_ptr=local.row_ptr[0], in_degrees=local.in_degrees[0],
+                 edge_feat=ef,
+                 num_nodes=shards.num_shards * shards.shard_num_recipients,
+                 num_recipients=shards.shard_num_recipients,
+                 num_edges=local.src.shape[1])
 
 
 def masked_softmax_cross_entropy(logits, labels, mask):
@@ -112,17 +122,26 @@ def make_distributed_train_step(model, optimizer: optax.GradientTransformation,
 
 
 def make_distributed_forward(model, shards: GraphShards, mesh: Mesh,
-                             variables, axis: str = 'graph') -> Callable:
+                             variables=None, axis: str = 'graph') -> Callable:
     """Jitted sharded inference over (P, R_shard, d) node features; returns
-    stacked (P, R_shard, out) recipient values."""
-    def fwd(X, local_shards):
+    stacked (P, R_shard, out) recipient values.
+
+    Call as fwd(variables, X_stacked, shards) -- variables are a shard_map
+    argument (replicated spec), never closed over: closure capture of arrays
+    that previously flowed through a mesh-sharded jit is rejected by
+    shard_map.  If `variables` is given here, the returned callable keeps the
+    two-arg signature fwd(X_stacked, shards) for convenience.
+    """
+    def fwd(variables, X, local_shards):
         g = _local_graph(shards, local_shards)
         out = model.apply(variables, X[0], g, gather_fn=_gather_fn(axis))
         return out[None]
 
     spec = _shard_specs(shards)
-    smapped = jax.shard_map(fwd, mesh=mesh,
-                            in_specs=(P('graph'), spec),
-                            out_specs=P('graph'),
-                            check_vma=False)
-    return jax.jit(smapped)
+    smapped = jax.jit(jax.shard_map(fwd, mesh=mesh,
+                                    in_specs=(P(), P('graph'), spec),
+                                    out_specs=P('graph'),
+                                    check_vma=False))
+    if variables is None:
+        return smapped
+    return lambda X, local_shards: smapped(variables, X, local_shards)

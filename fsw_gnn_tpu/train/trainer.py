@@ -1,0 +1,214 @@
+"""Full-graph node-classification trainer with checkpointing and metrics.
+
+New subsystem (the reference ships no trainer -- SURVEY.md section 1 "There
+is no CLI, no trainer...").  Covers BASELINE config #3 (Cora/Citeseer-style
+full-graph training) on one chip or an edge-partitioned mesh, with:
+
+  * optax optimizer + optional LR schedule,
+  * orbax checkpointing of (params, opt_state, step) + fixed collections,
+  * train/val/test accuracy metrics and early stopping,
+  * jax.profiler hooks (trace_dir) for performance work.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.datasets import NodeClassificationData
+from ..graph import Graph, from_edge_index
+from ..models.gnn import FSWGNN
+from ..parallel import (make_distributed_train_step, make_graph_mesh,
+                        make_distributed_forward, partition_graph,
+                        shard_node_features, shard_recipient_labels,
+                        unshard_recipient_values)
+from ..parallel.dist import masked_softmax_cross_entropy
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    hidden_dims: tuple = (64,)
+    learning_rate: float = 1e-2
+    weight_decay: float = 0.0
+    epochs: int = 100
+    eval_every: int = 5
+    patience: Optional[int] = None          # early stopping on val accuracy
+    minimize_slice_coherence: bool = False  # True matches reference defaults;
+                                            # off by default for init speed
+    mlp_layers: int = 1
+    dropout: float = 0.0
+    seed: int = 0
+    num_devices: Optional[int] = None       # >1 -> edge-partitioned mesh
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 50
+    trace_dir: Optional[str] = None         # jax.profiler trace output
+
+
+class Trainer:
+    def __init__(self, data: NodeClassificationData, config: TrainConfig):
+        self.data = data
+        self.cfg = config
+        self.graph = from_edge_index(data.edge_index, data.num_nodes,
+                                     dtype=jnp.float32)
+        dims = tuple(config.hidden_dims) + (data.num_classes,)
+        self.model = FSWGNN(
+            in_channels=data.features.shape[1], hidden_dims=dims,
+            minimize_slice_coherence=config.minimize_slice_coherence,
+            mlp_layers=config.mlp_layers, dropout=config.dropout)
+        self.X = jnp.asarray(data.features, jnp.float32)
+        variables = self.model.init(jax.random.PRNGKey(config.seed),
+                                    self.X, self.graph)
+        self.params = variables['params']
+        self.fixed = {k: v for k, v in variables.items() if k != 'params'}
+
+        if config.weight_decay > 0:
+            self.opt = optax.adamw(config.learning_rate,
+                                   weight_decay=config.weight_decay)
+        else:
+            self.opt = optax.adam(config.learning_rate)
+        self.opt_state = self.opt.init(self.params)
+        self.step_count = 0
+        self.history: list = []
+
+        n_dev = config.num_devices or 1
+        self.distributed = n_dev > 1
+        if self.distributed:
+            self.mesh = make_graph_mesh(n_dev)
+            self.shards = partition_graph(self.graph, n_dev)
+            self.Xs = shard_node_features(data.features.astype(np.float32),
+                                          self.shards)
+            self.labels_s, self.train_mask_s = shard_recipient_labels(
+                data.labels, data.train_mask.astype(np.float32), self.shards)
+            self._step = make_distributed_train_step(
+                self.model, self.opt, self.shards, self.mesh,
+                fixed_collections=self.fixed)
+        else:
+            self._step = self._make_single_step()
+
+        self._ckpt_mgr = None
+        if config.checkpoint_dir:
+            import orbax.checkpoint as ocp
+            self._ckpt_mgr = ocp.CheckpointManager(
+                os.path.abspath(config.checkpoint_dir),
+                options=ocp.CheckpointManagerOptions(max_to_keep=3))
+
+    # ------------------------------------------------------------------
+    def _make_single_step(self):
+        labels = jnp.asarray(self.data.labels)
+        mask = jnp.asarray(self.data.train_mask, jnp.float32)
+        model, opt, fixed, graph = self.model, self.opt, self.fixed, self.graph
+
+        def loss_fn(params, X):
+            logits = model.apply({'params': params, **fixed}, X, graph)
+            s, c = masked_softmax_cross_entropy(logits, labels, mask)
+            return s / jnp.maximum(c, 1.0)
+
+        @jax.jit
+        def step(params, opt_state, X):
+            loss, grads = jax.value_and_grad(loss_fn)(params, X)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    # ------------------------------------------------------------------
+    def train_epoch(self) -> float:
+        if self.distributed:
+            self.params, self.opt_state, loss = self._step(
+                self.params, self.opt_state, self.Xs, self.shards,
+                self.labels_s, self.train_mask_s)
+        else:
+            self.params, self.opt_state, loss = self._step(
+                self.params, self.opt_state, self.X)
+        self.step_count += 1
+        return float(loss)
+
+    def predict(self) -> np.ndarray:
+        if self.distributed:
+            fwd = make_distributed_forward(
+                self.model, self.shards, self.mesh,
+                {'params': self.params, **self.fixed})
+            stacked = fwd(self.Xs, self.shards)
+            return unshard_recipient_values(stacked, self.shards)
+        out = self.model.apply({'params': self.params, **self.fixed},
+                               self.X, self.graph)
+        return np.asarray(out)
+
+    def evaluate(self) -> Dict[str, float]:
+        logits = self.predict()
+        pred = logits.argmax(-1)
+        y = self.data.labels
+        out = {}
+        for split, m in [('train', self.data.train_mask),
+                         ('val', self.data.val_mask),
+                         ('test', self.data.test_mask)]:
+            out[f'{split}_acc'] = float((pred[m] == y[m]).mean()) if m.any() \
+                else float('nan')
+        return out
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self):
+        if self._ckpt_mgr is None:
+            return
+        import orbax.checkpoint as ocp
+        self._ckpt_mgr.save(
+            self.step_count,
+            args=ocp.args.StandardSave({'params': self.params,
+                                        'opt_state': self.opt_state,
+                                        'fixed': self.fixed}))
+        self._ckpt_mgr.wait_until_finished()
+
+    def restore_checkpoint(self, step: Optional[int] = None):
+        assert self._ckpt_mgr is not None, 'no checkpoint_dir configured'
+        import orbax.checkpoint as ocp
+        step = step if step is not None else self._ckpt_mgr.latest_step()
+        restored = self._ckpt_mgr.restore(
+            step,
+            args=ocp.args.StandardRestore({'params': self.params,
+                                           'opt_state': self.opt_state,
+                                           'fixed': self.fixed}))
+        self.params = restored['params']
+        self.opt_state = restored['opt_state']
+        self.fixed = restored['fixed']
+        self.step_count = step
+        return step
+
+    # ------------------------------------------------------------------
+    def fit(self, verbose: bool = False) -> Dict[str, Any]:
+        cfg = self.cfg
+        best_val, best_metrics, strikes = -1.0, None, 0
+        if cfg.trace_dir:
+            jax.profiler.start_trace(cfg.trace_dir)
+        t0 = time.perf_counter()
+        for epoch in range(1, cfg.epochs + 1):
+            loss = self.train_epoch()
+            rec = {'epoch': epoch, 'loss': loss}
+            if epoch % cfg.eval_every == 0 or epoch == cfg.epochs:
+                rec.update(self.evaluate())
+                if rec['val_acc'] == rec['val_acc']:  # not NaN
+                    if rec['val_acc'] > best_val:
+                        best_val, best_metrics, strikes = rec['val_acc'], rec, 0
+                    else:
+                        strikes += 1
+                if verbose:
+                    print(f"epoch {epoch}: loss={loss:.4f} "
+                          f"train={rec.get('train_acc', float('nan')):.3f} "
+                          f"val={rec.get('val_acc', float('nan')):.3f}")
+                if cfg.patience and strikes >= cfg.patience:
+                    break
+            self.history.append(rec)
+            if self._ckpt_mgr and epoch % cfg.checkpoint_every == 0:
+                self.save_checkpoint()
+        elapsed = time.perf_counter() - t0
+        if cfg.trace_dir:
+            jax.profiler.stop_trace()
+        final = self.evaluate()
+        return {'final': final, 'best': best_metrics, 'seconds': elapsed,
+                'epochs_run': len(self.history)}
