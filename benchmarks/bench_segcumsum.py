@@ -1,0 +1,55 @@
+"""Microbenchmark: segmented cumsum throughput vs the HBM roofline.
+
+BASELINE.json metric #2.  Compares the Pallas kernel against the XLA
+cumsum-minus-base formulation.  Roofline model: segcumsum reads values +
+segment ids and writes results -- 3 * 4 bytes/element minimum traffic.
+
+Run on TPU:  python benchmarks/bench_segcumsum.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N = int(os.environ.get('FSW_SEGBENCH_N', 1 << 24))        # 16M elements
+AVG_SEG = int(os.environ.get('FSW_SEGBENCH_SEG', 32))
+ITERS = int(os.environ.get('FSW_SEGBENCH_ITERS', 20))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from fsw_gnn_tpu.ops.segment import segment_cumsum
+    from fsw_gnn_tpu.ops.segcumsum_pallas import segcumsum_pallas
+
+    rng = np.random.default_rng(0)
+    ids = np.sort(rng.integers(0, N // AVG_SEG, N)).astype(np.int32)
+    vals = rng.standard_normal(N).astype(np.float32)
+    v = jnp.asarray(vals)
+    s = jnp.asarray(ids)
+
+    def timed(fn, name):
+        f = jax.jit(fn)
+        out = jax.block_until_ready(f(v, s))          # compile
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = jax.block_until_ready(f(v, s))
+        dt = (time.perf_counter() - t0) / ITERS
+        gbps = 3 * 4 * N / dt / 1e9
+        print(json.dumps({'kernel': name, 'n': N, 'ms': round(dt * 1e3, 3),
+                          'GB_s': round(gbps, 1)}))
+        return out, gbps
+
+    out_x, _ = timed(lambda v, s: segment_cumsum(v, s), 'xla_cumsum_minus_base')
+    out_p, _ = timed(lambda v, s: segcumsum_pallas(v, s), 'pallas_segscan')
+    err = float(jnp.max(jnp.abs(out_x - out_p)) /
+                (1e-6 + float(jnp.max(jnp.abs(out_p)))))
+    print(json.dumps({'max_rel_disagreement': err}))
+
+
+if __name__ == '__main__':
+    main()

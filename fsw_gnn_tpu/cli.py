@@ -1,0 +1,99 @@
+"""Command-line interface for training and evaluating FSW-GNNs.
+
+The reference has no CLI (SURVEY.md section 1); this provides runnable entry
+points for the BASELINE configs:
+
+  python -m fsw_gnn_tpu.cli train --dataset cora --hidden 64 --epochs 100
+  python -m fsw_gnn_tpu.cli train --dataset ogbn-arxiv --minibatch \
+      --batch-size 1024 --fanouts 10,10
+  python -m fsw_gnn_tpu.cli train --dataset cora --num-devices 8
+  python -m fsw_gnn_tpu.cli bench
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_train_args(p):
+    p.add_argument('--dataset', default='cora')
+    p.add_argument('--hidden', type=int, nargs='+', default=[64])
+    p.add_argument('--embed-dim', type=int, default=None,
+                   help='FSW embedding dim per layer (default: reference '
+                        'heuristic 2*max(in, out), huge for wide features)')
+    p.add_argument('--epochs', type=int, default=100)
+    p.add_argument('--lr', type=float, default=1e-2)
+    p.add_argument('--weight-decay', type=float, default=0.0)
+    p.add_argument('--mlp-layers', type=int, default=1)
+    p.add_argument('--dropout', type=float, default=0.0)
+    p.add_argument('--eval-every', type=int, default=5)
+    p.add_argument('--patience', type=int, default=None)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--num-devices', type=int, default=None,
+                   help='edge-partition the graph over this many devices')
+    p.add_argument('--minimize-slice-coherence', action='store_true',
+                   help='coherence-minimize projection frames at init '
+                        '(reference default; slower init)')
+    p.add_argument('--checkpoint-dir', default=None)
+    p.add_argument('--trace-dir', default=None)
+    p.add_argument('--minibatch', action='store_true',
+                   help='neighbor-sampled minibatch training')
+    p.add_argument('--batch-size', type=int, default=512)
+    p.add_argument('--fanouts', default='10,10')
+    p.add_argument('--verbose', action='store_true')
+
+
+def cmd_train(args) -> int:
+    from .data.datasets import load
+    from .train import TrainConfig, Trainer
+
+    data = load(args.dataset)
+    cfg = TrainConfig(
+        hidden_dims=tuple(args.hidden), embed_dim=args.embed_dim,
+        learning_rate=args.lr,
+        weight_decay=args.weight_decay, epochs=args.epochs,
+        eval_every=args.eval_every, patience=args.patience,
+        minimize_slice_coherence=args.minimize_slice_coherence,
+        mlp_layers=args.mlp_layers, dropout=args.dropout, seed=args.seed,
+        num_devices=args.num_devices, checkpoint_dir=args.checkpoint_dir,
+        trace_dir=args.trace_dir)
+
+    if args.minibatch:
+        from .train.minibatch import MinibatchTrainer
+        fanouts = tuple(int(x) for x in args.fanouts.split(','))
+        tr = MinibatchTrainer(data, cfg, batch_size=args.batch_size,
+                              fanouts=fanouts)
+    else:
+        tr = Trainer(data, cfg)
+    out = tr.fit(verbose=args.verbose)
+    print(json.dumps({'dataset': data.name, **out['final'],
+                      'seconds': round(out['seconds'], 2),
+                      'epochs_run': out['epochs_run']}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+    import os
+    runpy.run_path(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'bench.py'), run_name='__main__')
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog='fsw_gnn_tpu')
+    sub = parser.add_subparsers(dest='cmd', required=True)
+    pt = sub.add_parser('train', help='train an FSW-GNN node classifier')
+    _add_train_args(pt)
+    sub.add_parser('bench', help='run the headline benchmark')
+    args = parser.parse_args(argv)
+    if args.cmd == 'train':
+        return cmd_train(args)
+    if args.cmd == 'bench':
+        return cmd_bench(args)
+    return 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())

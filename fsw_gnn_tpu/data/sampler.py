@@ -133,6 +133,7 @@ class NeighborSampler:
     def sample(self, seeds: np.ndarray, labels: Optional[np.ndarray] = None,
                max_nodes: Optional[int] = None) -> SampledBatch:
         seeds = np.asarray(seeds, np.int64)
+        assert len(np.unique(seeds)) == len(seeds), 'seeds must be unique'
         frontier = seeds
         all_src, all_dst = [], []
         for fanout in self.fanouts:

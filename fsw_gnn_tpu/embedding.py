@@ -332,6 +332,90 @@ def fsw_embed_graph(X: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Bucketed neighbor-table path -- the TPU fast path.
+#
+# Same math as fsw_embed_graph, but neighborhoods are fixed-width rows of a
+# dense (R, B) table, so the segmented sort becomes a batched width-B sort
+# (log^2 B bitonic passes instead of log^2 E) and cumsum/quadrature are
+# plain dense ops along the bucket axis.  Zero-weight padding contributes
+# exactly 0 everywhere.
+# ---------------------------------------------------------------------------
+
+def fsw_embed_table(X: jax.Array,
+                    table,
+                    projVecs: jax.Array,
+                    freqs: jax.Array,
+                    cfg: FSWConfig,
+                    bias: Optional[jax.Array] = None,
+                    total_mass_scale: Optional[jax.Array] = None,
+                    slice_chunk: Optional[int] = None) -> jax.Array:
+    """Embed neighborhoods given as a dense `NeighborTable`.
+
+    X: (num_nodes, d_in).  Returns (num_recipients, d_out) (or
+    (R, nSlices, nFreqs) in non-collapsed cartesian mode).
+    """
+    w = table.weight                                               # (R, B)
+    dt = X.dtype
+
+    w_sum = jnp.sum(w, axis=-1)                                    # (R,)
+    w_sum_padded = lowclamp(w_sum, cfg.total_mass_pad_thresh)
+    pad_norm = lowclamp(cfg.total_mass_pad_thresh - w_sum, 0.0) / w_sum_padded
+    wn = w / w_sum_padded[:, None]                                 # (R, B)
+
+    def slices_block(proj_block, f_block):
+        """proj_block: (S_blk, d_in+d_edge) slice vectors; f_block freqs."""
+        Xp = X @ proj_block[:, :cfg.d_in].T                        # (N, S_blk)
+        P = jnp.take(Xp, table.idx.reshape(-1), axis=0)
+        P = P.reshape(table.idx.shape + (Xp.shape[1],))            # (R, B, S)
+        if cfg.d_edge > 0:
+            assert table.edge_feat is not None
+            P = P + table.edge_feat @ proj_block[:, cfg.d_in:].T
+
+        # sort neighborhoods along the bucket axis per slice
+        ps, ws = jax.lax.sort(
+            (jnp.moveaxis(P, 1, 2),                                # (R, S, B)
+             jnp.broadcast_to(wn[:, None, :], P.shape[:1] +
+                              (P.shape[2], P.shape[1]))),
+            dimension=2, is_stable=True, num_keys=1)
+        c = jnp.cumsum(ws, axis=2) + pad_norm[:, None, None] * (ps > 0)
+
+        if cfg.cartesian_mode:
+            sd = _sinc_diff(ws[..., None], c[..., None],
+                            f_block[:, None, :])                   # (R,S,B,F)
+            emb = jnp.einsum('rsb,rsbf->rsf', ps, sd)
+            emb = (1.0 + f_block) * emb                            # (R, S, F)
+        else:
+            sd = _sinc_diff(ws, c, f_block[:, None])               # (R, S, B)
+            emb = jnp.sum(ps * sd, axis=2)
+            emb = (1.0 + f_block) * emb                            # (R, S)
+        return emb
+
+    S = cfg.nSlices
+    if cfg.cartesian_mode:
+        slice_freqs = jnp.broadcast_to(freqs, (S,) + freqs.shape)
+    else:
+        slice_freqs = freqs
+
+    if slice_chunk is None or slice_chunk >= S:
+        emb = slices_block(projVecs, slice_freqs)
+    else:
+        n_chunks = -(-S // slice_chunk)
+        S_pad = n_chunks * slice_chunk
+        V_pad = jnp.pad(projVecs, ((0, S_pad - S), (0, 0)))
+        f_pad = jnp.pad(slice_freqs, ((0, S_pad - S),) + ((0, 0),) *
+                        (slice_freqs.ndim - 1))
+        V_chunks = V_pad.reshape(n_chunks, slice_chunk, projVecs.shape[1])
+        f_chunks = f_pad.reshape((n_chunks, slice_chunk) +
+                                 slice_freqs.shape[1:])
+        emb = jax.lax.map(lambda pf: slices_block(pf[0], pf[1]),
+                          (V_chunks, f_chunks))
+        emb = jnp.moveaxis(emb, 0, 1)                              # (R, nc, chunk, ...)
+        emb = emb.reshape((emb.shape[0], S_pad) + emb.shape[3:])[:, :S]
+
+    return _finalize(emb.astype(dt), w_sum, cfg, bias, total_mass_scale)
+
+
+# ---------------------------------------------------------------------------
 # Dense graph-mode path  (dense W branch with graph_mode=True,
 # fsw_embedding.py:983-1004 with recipient axis)
 # ---------------------------------------------------------------------------

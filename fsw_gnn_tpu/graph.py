@@ -168,6 +168,72 @@ def from_edge_index(edge_index,
     )
 
 
+@struct.dataclass
+class NeighborTable:
+    """Dense padded neighbor table: row r holds recipient r's in-edges.
+
+    TPU-friendly alternative layout to the CSR edge list: per-neighborhood
+    sort/cumsum become fixed-width (B-wide) batched ops -- ~log^2(B) bitonic
+    passes instead of log^2(E) for a global segmented sort.  Padding entries
+    have weight 0 (contribute exactly 0 through the FSW quadrature) and
+    sender index 0.
+    """
+    idx: jax.Array       # (R, B) int32 sender ids (0 for padding)
+    weight: jax.Array    # (R, B) float (0 for padding)
+    in_degrees: jax.Array  # (R,)
+    edge_feat: Optional[jax.Array] = None   # (R, B, d_edge)
+    num_nodes: int = struct.field(pytree_node=False, default=0)
+    num_recipients: int = struct.field(pytree_node=False, default=0)
+    num_edges: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def bucket_size(self) -> int:
+        return self.idx.shape[1]
+
+    @property
+    def d_edge(self) -> int:
+        return 0 if self.edge_feat is None else self.edge_feat.shape[-1]
+
+
+def to_neighbor_table(graph: Graph, bucket_size: Optional[int] = None,
+                      pad_multiple: int = 8) -> NeighborTable:
+    """Convert a CSR `Graph` to a dense `NeighborTable` (host-side).
+
+    bucket_size defaults to max in-degree rounded up to `pad_multiple`.
+    Requires bucket_size >= max degree (no edge dropping)."""
+    row_ptr = np.asarray(graph.row_ptr, np.int64)
+    src = np.asarray(graph.src)
+    w = np.asarray(graph.weight)
+    ef = None if graph.edge_feat is None else np.asarray(graph.edge_feat)
+    R = graph.num_recipients
+    # exclude zero-weight padding edges at the tail of the last segment
+    E_real = graph.num_edges
+    lo = np.minimum(row_ptr[:-1], E_real)
+    hi = np.minimum(row_ptr[1:], E_real)
+    deg = hi - lo
+    max_deg = int(deg.max()) if R > 0 else 0
+    B = bucket_size or max(_round_up(max(max_deg, 1), pad_multiple),
+                           pad_multiple)
+    assert B >= max_deg, f'bucket_size {B} < max degree {max_deg}'
+
+    idx = np.zeros((R, B), np.int32)
+    wt = np.zeros((R, B), w.dtype)
+    eft = (np.zeros((R, B, ef.shape[-1]), ef.dtype)
+           if ef is not None else None)
+    e = np.arange(E_real)
+    dst_e = np.asarray(graph.dst)[:E_real].astype(np.int64)
+    pos_e = e - lo[dst_e]
+    idx[dst_e, pos_e] = src[:E_real]
+    wt[dst_e, pos_e] = w[:E_real]
+    if eft is not None:
+        eft[dst_e, pos_e] = ef[:E_real]
+    return NeighborTable(
+        idx=jnp.asarray(idx), weight=jnp.asarray(wt),
+        in_degrees=graph.in_degrees,
+        edge_feat=None if eft is None else jnp.asarray(eft),
+        num_nodes=graph.num_nodes, num_recipients=R, num_edges=E_real)
+
+
 def readout_graph(graph_index, num_vertices: int,
                   batch_size: Optional[int] = None,
                   *, pad_multiple: int = 128, dtype=jnp.float32) -> Graph:

@@ -25,6 +25,7 @@ class FSWGNN(nn.Module):
     in_channels: int
     hidden_dims: Sequence[int]
     edgefeat_dim: int = 0
+    embed_dim: Optional[int] = None
     minimize_slice_coherence: bool = True
     encode_vertex_degrees: bool = True
     homog_degree_encoding: bool = False
@@ -51,6 +52,7 @@ class FSWGNN(nn.Module):
                 in_channels=d_in,
                 out_channels=d_out,
                 edgefeat_dim=self.edgefeat_dim if i == 0 else 0,
+                embed_dim=self.embed_dim,
                 minimize_slice_coherence=self.minimize_slice_coherence,
                 encode_vertex_degrees=self.encode_vertex_degrees,
                 homog_degree_encoding=self.homog_degree_encoding,

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .embedding import (FSWConfig, fsw_embed_graph, fsw_embed_graph_dense,
-                        fsw_embed_multiset)
+                        fsw_embed_multiset, fsw_embed_table)
+from .graph import NeighborTable
 from .params import bias_shape, generate_freqs, generate_proj_vecs
 
 
@@ -63,6 +64,10 @@ class FSWEmbedding(nn.Module):
                 cfg.learnable_total_mass_encoding_scale)
 
         if graph is not None:
+            if isinstance(graph, NeighborTable):
+                return fsw_embed_table(X, graph, proj, freqs, cfg, bias=bias,
+                                       total_mass_scale=tm_scale,
+                                       slice_chunk=slice_chunk)
             return fsw_embed_graph(X, graph, proj, freqs, cfg, bias=bias,
                                    total_mass_scale=tm_scale,
                                    slice_chunk=slice_chunk)

@@ -1,1 +1,2 @@
 from .trainer import TrainConfig, Trainer
+from .minibatch import MinibatchTrainer

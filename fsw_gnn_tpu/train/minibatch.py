@@ -1,0 +1,103 @@
+"""Neighbor-sampled minibatch training (BASELINE config #4, ogbn-arxiv
+style).
+
+Host-side pipeline: NeighborSampler (numpy or native C++) draws fixed-fanout
+subgraphs around a seed batch; each subgraph is padded to static shapes
+(max_nodes nodes, E_max edges) so one jitted train step serves every batch.
+Loss is computed on the seed nodes only (the first `batch_size` local ids).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.datasets import NodeClassificationData
+from ..data.sampler import NeighborSampler
+from ..graph import Graph, from_edge_index
+from ..models.gnn import FSWGNN
+from ..parallel.dist import masked_softmax_cross_entropy
+from .trainer import TrainConfig, Trainer
+
+
+class MinibatchTrainer(Trainer):
+    def __init__(self, data: NodeClassificationData, config: TrainConfig,
+                 batch_size: int = 512, fanouts: Tuple[int, ...] = (10, 10)):
+        # Trainer.__init__ builds the full graph (used for evaluation) and
+        # the single-device step; we add the sampler machinery on top.
+        assert not config.num_devices or config.num_devices == 1, (
+            'minibatch training is single-device; the distributed path '
+            'edge-partitions the full graph instead')
+        super().__init__(data, dataclasses.replace(config, num_devices=None))
+        self.batch_size = batch_size
+        self.fanouts = tuple(fanouts)
+        self.sampler = NeighborSampler(data.edge_index, data.num_nodes,
+                                       fanouts=self.fanouts, seed=config.seed)
+        # static shape caps: nodes <= b*(1 + f1 + f1*f2 + ...), edges
+        # <= b*(f1 + f1*f2 + ...)
+        nodes_cap, edges_cap, frontier = 1, 0, 1
+        for f in self.fanouts:
+            frontier *= f
+            nodes_cap += frontier
+            edges_cap += frontier
+        self.max_nodes = batch_size * nodes_cap
+        self.max_edges = max(128, -(-batch_size * edges_cap // 128) * 128)
+        self.train_seeds = np.nonzero(data.train_mask)[0]
+        self._rng = np.random.default_rng(config.seed)
+        self._mb_step = self._make_minibatch_step()
+
+    def _make_minibatch_step(self):
+        model, opt, fixed = self.model, self.opt, self.fixed
+
+        def loss_fn(params, Xb, graph, labels, mask):
+            logits = model.apply({'params': params, **fixed}, Xb, graph)
+            s, c = masked_softmax_cross_entropy(logits, labels, mask)
+            return s / jnp.maximum(c, 1.0)
+
+        @jax.jit
+        def step(params, opt_state, Xb, graph, labels, mask):
+            loss, grads = jax.value_and_grad(loss_fn)(params, Xb, graph,
+                                                      labels, mask)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    def _build_batch(self, seeds: np.ndarray):
+        batch = self.sampler.sample(seeds, labels=self.data.labels,
+                                    max_nodes=self.max_nodes)
+        g = from_edge_index(batch.edge_index_local, self.max_nodes,
+                            pad_to=self.max_edges, dtype=jnp.float32)
+        # pin static metadata so every batch hits the same jit cache entry
+        g = dataclasses.replace(g, num_edges=self.max_edges)
+        Xb = jnp.asarray(self.data.features[batch.node_ids], jnp.float32)
+        labels = np.zeros(self.max_nodes, np.int32)
+        mask = np.zeros(self.max_nodes, np.float32)
+        n_seed = batch.num_seeds
+        labels[:n_seed] = batch.seed_labels
+        mask[:n_seed] = 1.0
+        return g, Xb, jnp.asarray(labels), jnp.asarray(mask)
+
+    def train_epoch(self) -> float:
+        order = self._rng.permutation(self.train_seeds)
+        losses = []
+        for i in range(0, len(order), self.batch_size):
+            seeds = order[i:i + self.batch_size]
+            if len(seeds) < self.batch_size:
+                if len(order) < self.batch_size:
+                    break  # dataset smaller than one batch
+                # keep shapes static: wrap around with the epoch's first seeds
+                # (seeds must stay unique within a batch)
+                seeds = np.concatenate(
+                    [seeds, order[:self.batch_size - len(seeds)]])
+            g, Xb, labels, mask = self._build_batch(seeds)
+            self.params, self.opt_state, loss = self._mb_step(
+                self.params, self.opt_state, Xb, g, labels, mask)
+            losses.append(float(loss))
+        self.step_count += 1
+        return float(np.mean(losses)) if losses else float('nan')

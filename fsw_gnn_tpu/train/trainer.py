@@ -34,6 +34,8 @@ from ..parallel.dist import masked_softmax_cross_entropy
 @dataclasses.dataclass
 class TrainConfig:
     hidden_dims: tuple = (64,)
+    embed_dim: Optional[int] = None          # None -> reference heuristic
+                                             # 2*max(in, out) per layer
     learning_rate: float = 1e-2
     weight_decay: float = 0.0
     epochs: int = 100
@@ -59,6 +61,7 @@ class Trainer:
         dims = tuple(config.hidden_dims) + (data.num_classes,)
         self.model = FSWGNN(
             in_channels=data.features.shape[1], hidden_dims=dims,
+            embed_dim=config.embed_dim,
             minimize_slice_coherence=config.minimize_slice_coherence,
             mlp_layers=config.mlp_layers, dropout=config.dropout)
         self.X = jnp.asarray(data.features, jnp.float32)

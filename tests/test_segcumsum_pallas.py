@@ -1,0 +1,48 @@
+"""Pallas segcumsum kernel vs the numpy oracle (interpreter mode on CPU)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fsw_gnn_tpu.ops.segcumsum_pallas import segcumsum_pallas
+
+
+def _oracle(values, ids):
+    out = np.zeros_like(values)
+    acc = {}
+    for i, (v, s) in enumerate(zip(values, ids)):
+        acc[s] = acc.get(s, 0.0) + v
+        out[i] = acc[s]
+    return out
+
+
+@pytest.mark.parametrize('n,nseg,rows', [
+    (128, 1, 8),           # single segment, single row
+    (1000, 37, 8),         # boundary mid-lane, padding tail
+    (8192, 100, 8),        # multiple blocks -> carry across tiles
+    (70000, 5, 64),        # long segments spanning many tiles
+    (4096, 4096, 8),       # every element its own segment
+])
+def test_segcumsum_pallas_matches_oracle(n, nseg, rows):
+    rng = np.random.default_rng(n)
+    ids = np.sort(rng.integers(0, nseg, n)).astype(np.int32)
+    vals = rng.standard_normal(n).astype(np.float32)
+    got = segcumsum_pallas(jnp.asarray(vals), jnp.asarray(ids),
+                           rows_per_block=rows, interpret=True)
+    want = _oracle(vals.astype(np.float64), ids)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_segment_restart_precision():
+    """Per-segment restart: a huge earlier segment must not pollute later
+    small segments (the weakness of the cumsum-minus-base formulation)."""
+    n = 2048
+    ids = np.concatenate([np.zeros(n // 2, np.int32),
+                          np.ones(n // 2, np.int32)])
+    vals = np.concatenate([np.full(n // 2, 1e6, np.float32),
+                           np.full(n // 2, 1e-3, np.float32)])
+    got = np.asarray(segcumsum_pallas(jnp.asarray(vals), jnp.asarray(ids),
+                                      interpret=True))
+    want = _oracle(vals.astype(np.float64), ids)
+    # second segment must be accurate to f32 eps of ITS OWN magnitude
+    second = slice(n // 2, None)
+    np.testing.assert_allclose(got[second], want[second], rtol=1e-5)

@@ -1,0 +1,109 @@
+"""Parity of the bucketed NeighborTable fast path vs the CSR path."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fsw_gnn_tpu import (FSWConfig, FSWConv, from_edge_index, fsw_embed_graph,
+                         fsw_embed_table, to_neighbor_table)
+
+
+def _random_graph(rng, n, p=0.2):
+    A = rng.random((n, n)) < p
+    np.fill_diagonal(A, False)
+    src, dst = np.nonzero(A)
+    return np.stack([src, dst]).astype(np.int64)
+
+
+def _params(rng, cfg):
+    proj = rng.standard_normal((cfg.nSlices, cfg.proj_dim))
+    proj /= np.linalg.norm(proj, axis=1, keepdims=True)
+    freqs = np.abs(rng.standard_normal(cfg.nFreqs)) + 0.2
+    return jnp.asarray(proj), jnp.asarray(freqs)
+
+
+@pytest.mark.parametrize('cartesian', [False, True])
+def test_table_matches_csr(cartesian):
+    rng = np.random.default_rng(0)
+    n, d_in = 40, 5
+    if cartesian:
+        cfg = FSWConfig(d_in=d_in, n_slices=6, n_freqs=4, enable_bias=False)
+    else:
+        cfg = FSWConfig(d_in=d_in, d_out=9, enable_bias=False)
+    proj, freqs = _params(rng, cfg)
+    X = jnp.asarray(rng.standard_normal((n, d_in)))
+    g = from_edge_index(_random_graph(rng, n), n, dtype=jnp.float64)
+    t = to_neighbor_table(g)
+
+    a = fsw_embed_graph(X, g, proj, freqs, cfg)
+    b = fsw_embed_table(X, t, proj, freqs, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_table_matches_csr_edge_features():
+    rng = np.random.default_rng(1)
+    n, d_in, d_edge = 30, 4, 3
+    cfg = FSWConfig(d_in=d_in, d_out=7, d_edge=d_edge, enable_bias=False)
+    proj, freqs = _params(rng, cfg)
+    X = jnp.asarray(rng.standard_normal((n, d_in)))
+    ei = _random_graph(rng, n)
+    EF = rng.standard_normal((ei.shape[1], d_edge))
+    g = from_edge_index(ei, n, edge_features=EF, dtype=jnp.float64)
+    t = to_neighbor_table(g)
+
+    a = fsw_embed_graph(X, g, proj, freqs, cfg)
+    b = fsw_embed_table(X, t, proj, freqs, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_table_slice_chunking():
+    rng = np.random.default_rng(2)
+    n, d_in = 25, 4
+    cfg = FSWConfig(d_in=d_in, d_out=10, enable_bias=False,
+                    encode_total_mass=True)
+    proj, freqs = _params(rng, cfg)
+    X = jnp.asarray(rng.standard_normal((n, d_in)))
+    g = from_edge_index(_random_graph(rng, n), n, dtype=jnp.float64)
+    t = to_neighbor_table(g)
+    full = fsw_embed_table(X, t, proj, freqs, cfg,
+                           total_mass_scale=jnp.asarray(1.0))
+    chunked = fsw_embed_table(X, t, proj, freqs, cfg, slice_chunk=4,
+                              total_mass_scale=jnp.asarray(1.0))
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_table_gradients_match_csr():
+    rng = np.random.default_rng(3)
+    n, d_in = 20, 4
+    cfg = FSWConfig(d_in=d_in, d_out=6, enable_bias=False)
+    proj, freqs = _params(rng, cfg)
+    X = jnp.asarray(rng.standard_normal((n, d_in)))
+    g = from_edge_index(_random_graph(rng, n), n, dtype=jnp.float64)
+    t = to_neighbor_table(g)
+    Rv = jnp.asarray(rng.standard_normal((n, 6)))
+
+    ga = jax.grad(lambda X_, p_: jnp.sum(
+        fsw_embed_graph(X_, g, p_, freqs, cfg) * Rv), argnums=(0, 1))(X, proj)
+    gb = jax.grad(lambda X_, p_: jnp.sum(
+        fsw_embed_table(X_, t, p_, freqs, cfg) * Rv), argnums=(0, 1))(X, proj)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-11)
+
+
+def test_conv_with_table():
+    rng = np.random.default_rng(4)
+    n, d_in, d_out = 30, 5, 4
+    X = jnp.asarray(rng.standard_normal((n, d_in)), jnp.float32)
+    g = from_edge_index(_random_graph(rng, n), n)
+    t = to_neighbor_table(g)
+    conv = FSWConv(in_channels=d_in, out_channels=d_out, mlp_layers=2,
+                   minimize_slice_coherence=False)
+    variables = conv.init(jax.random.PRNGKey(0), X, t)
+    out_t = conv.apply(variables, X, t)
+    out_g = conv.apply(variables, X, g)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_g),
+                               rtol=2e-4, atol=1e-5)
