@@ -31,6 +31,7 @@ from .embedding import FSWConfig
 from .graph import Graph
 from .modules import FSWEmbedding
 from .ops.coherence import minimize_mutual_coherence
+from .registry import register_layer, register_pooling
 
 
 def leaky_relu_02(x):
@@ -120,8 +121,9 @@ class _MLPHead(nn.Module):
         return x
 
 
+@register_layer('fsw_conv')
 class FSWConv(nn.Module):
-    """FSW message-passing layer over a CSR `Graph`.
+    """FSW message-passing layer over a CSR `Graph` (or `NeighborTable`).
 
     Call: `conv(vertex_features, graph)` with vertex_features (N, in_channels)
     and a `Graph` whose recipients are the N nodes.  Edge features (if
@@ -152,6 +154,19 @@ class FSWConv(nn.Module):
     dropout_hidden: float = 0.0
     minimize_slice_coherence: bool = True
     dtype: jnp.dtype = jnp.float32
+
+    @classmethod
+    def from_config(cls, config: Optional[dict] = None, **kwargs):
+        """Construct with config-dict overrides, the reference's 'config
+        system' (fsw_conv.py:192-205): any key in `config` overrides the
+        matching constructor argument; unknown keys raise."""
+        config = dict(config or {})
+        valid = {f.name for f in dataclasses.fields(cls)}
+        for key in config:
+            if key not in valid:
+                raise ValueError(f"Invalid argument '{key}' in config")
+        kwargs.update(config)
+        return cls(**kwargs)
 
     def _resolved_embed_dim(self) -> int:
         if self.mlp_layers == 0 and not self.concat_self:
@@ -221,6 +236,7 @@ class FSWConv(nn.Module):
             name='head')(emb, train=train)
 
 
+@register_pooling('fsw_readout')
 class FSWReadout(FSWConv):
     """Global graph pooling as a bipartite FSW aggregation
     (fsw_conv.py:451-517).

@@ -42,7 +42,9 @@ from typing import Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from .ops.segment import (segment_cumsum, segment_sort, segment_sum)
+from .ops.segment import (permutation_gather, rows_gather, segment_cumsum,
+                          segment_sort, segment_sum,
+                          sort_perm_by_segmented_keys)
 
 
 # ---------------------------------------------------------------------------
@@ -287,14 +289,23 @@ def fsw_embed_graph(X: jax.Array,
     pad_norm_e = jnp.take(pad_norm, dst)                           # (E,)
 
     Xp = X @ projVecs[:, :cfg.d_in].T                              # (N, S)
-    P = jnp.take(Xp, graph.src, axis=0)                            # (E, S)
+    if graph.src_order is not None:
+        # scatter-free backward: adjoint is a sorted segment-sum
+        P = rows_gather(graph.num_nodes, Xp, graph.src, graph.src_order,
+                        graph.src_sorted)                          # (E, S)
+    else:
+        P = jnp.take(Xp, graph.src, axis=0)
     if cfg.d_edge > 0:
         assert graph.edge_feat is not None, 'graph has no edge features'
         P = P + graph.edge_feat @ projVecs[:, cfg.d_in:].T
 
     def one_slice(p_k, f_k):
         """p_k: (E,) projections for one slice; f_k: () or (F,) freqs."""
-        ps, ws = segment_sort(p_k, wn, segment_ids=dst)
+        # permutation-based segmented sort: the adjoint of each gather is a
+        # gather by the inverse permutation (no scatters in the backward)
+        perm, inv_perm = sort_perm_by_segmented_keys(p_k, dst)
+        ps = permutation_gather(p_k, perm, inv_perm)
+        ws = permutation_gather(wn, perm, inv_perm)
         c = segment_cumsum(ws, dst, graph.row_ptr) + pad_norm_e * (ps > 0)
         if cfg.cartesian_mode:
             sd = _sinc_diff(ws[:, None], c[:, None], f_k)          # (E, F)

@@ -49,6 +49,11 @@ class Graph:
     row_ptr: jax.Array
     in_degrees: jax.Array
     edge_feat: Optional[jax.Array] = None
+    # host-precomputed sender ordering: src_order sorts edges by sender,
+    # src_sorted = src[src_order].  Lets the sender-feature gather use a
+    # segment-sum backward instead of an XLA scatter (ops.segment.rows_gather)
+    src_order: Optional[jax.Array] = None
+    src_sorted: Optional[jax.Array] = None
     num_nodes: int = struct.field(pytree_node=False, default=0)
     num_recipients: int = struct.field(pytree_node=False, default=0)
     num_edges: int = struct.field(pytree_node=False, default=0)
@@ -155,6 +160,8 @@ def from_edge_index(edge_index,
     row_ptr = np.zeros(num_recipients + 1, np.int64)
     np.cumsum(np.bincount(dst, minlength=num_recipients), out=row_ptr[1:])
 
+    src_order = np.argsort(src, kind='stable')
+
     return Graph(
         src=jnp.asarray(src, jnp.int32),
         dst=jnp.asarray(dst, jnp.int32),
@@ -162,6 +169,8 @@ def from_edge_index(edge_index,
         row_ptr=jnp.asarray(row_ptr, jnp.int32),
         in_degrees=jnp.asarray(in_deg, dtype),
         edge_feat=None if ef is None else jnp.asarray(ef, dtype),
+        src_order=jnp.asarray(src_order, jnp.int32),
+        src_sorted=jnp.asarray(src[src_order], jnp.int32),
         num_nodes=int(num_nodes),
         num_recipients=int(num_recipients),
         num_edges=int(E_real),

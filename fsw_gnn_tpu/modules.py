@@ -21,6 +21,31 @@ from .graph import NeighborTable
 from .params import bias_shape, generate_freqs, generate_proj_vecs
 
 
+def spread_freqs_at_interval(freqs: jax.Array, center: float,
+                             radius: float) -> jax.Array:
+    """Equispaced frequencies on [center-radius, center+radius].
+
+    Functional analogue of `FSW_embedding.spread_freqs_at_interval`
+    (fsw_embedding.py:568-582): returns the new freqs array to swap into the
+    parameter pytree (params['freqs'] = spread_freqs_at_interval(...)).
+    """
+    assert radius >= 0
+    nF = freqs.shape[0]
+    if nF == 1 or radius == 0:
+        return jnp.full_like(freqs, center)
+    spread = 2 * (0.5 + jnp.arange(nF, dtype=freqs.dtype)) / nF - 1
+    spread = spread / (1 - 1 / nF)
+    return center + radius * spread
+
+
+def get_mutual_coherence(proj_vecs: jax.Array) -> jax.Array:
+    """Max |off-diagonal Gram entry| of the slice vectors
+    (FSW_embedding.get_mutual_coherence, fsw_embedding.py:1116-1132)."""
+    G = proj_vecs @ proj_vecs.T
+    G = G - jnp.diag(jnp.diag(G))
+    return jnp.max(jnp.abs(G))
+
+
 class FSWEmbedding(nn.Module):
     """Fourier Sliced-Wasserstein embedding layer.
 
@@ -44,6 +69,15 @@ class FSWEmbedding(nn.Module):
                  slice_chunk: Optional[int] = None):
         cfg = self.cfg
         dt = self.dtype
+
+        if cfg.out_dim == 0:
+            # zero-dimensional output supported for compatibility
+            # (fsw_embedding.py:833-835)
+            if graph is not None:
+                return jnp.zeros((graph.num_recipients, 0), dt)
+            lead = (W.shape[:-1] if (graph_mode and W is not None)
+                    else X.shape[:-2])
+            return jnp.zeros(tuple(lead) + (0,), dt)
 
         proj = self._get('proj_vecs',
                          lambda key: generate_proj_vecs(key, cfg, dt),

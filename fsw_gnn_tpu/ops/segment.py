@@ -88,6 +88,78 @@ def segment_argsort(keys: jax.Array, segment_ids: jax.Array,
     return perm
 
 
+# ---------------------------------------------------------------------------
+# Scatter-free differentiable gathers.
+#
+# XLA lowers the adjoint of a gather to a scatter(-add), which is slow on
+# TPU.  Both gathers in the FSW pipeline have structure that lets the
+# backward pass be a gather/segment-sum instead:
+#   * a *permutation* gather's adjoint is a gather by the inverse
+#     permutation;
+#   * the sender-row gather's adjoint is a sum of cotangent rows per sender,
+#     i.e. a segment-sum after reordering edges by sender -- an order that is
+#     static per graph and precomputed on the host.
+# ---------------------------------------------------------------------------
+
+
+def invert_permutation(perm: jax.Array) -> jax.Array:
+    """Inverse of a permutation via one int sort (scatter-free)."""
+    iota = jnp.arange(perm.shape[0], dtype=jnp.int32)
+    _, inv = jax.lax.sort((perm, iota), dimension=0, num_keys=1)
+    return inv
+
+
+@jax.custom_vjp
+def permutation_gather(x: jax.Array, perm: jax.Array,
+                       inv_perm: jax.Array) -> jax.Array:
+    """x[perm] with a gather-by-inverse backward instead of a scatter."""
+    return jnp.take(x, perm, axis=0)
+
+
+def _pg_fwd(x, perm, inv_perm):
+    return jnp.take(x, perm, axis=0), inv_perm
+
+
+def _pg_bwd(inv_perm, ct):
+    return jnp.take(ct, inv_perm, axis=0), None, None
+
+
+permutation_gather.defvjp(_pg_fwd, _pg_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def rows_gather(num_rows: int, x: jax.Array, idx: jax.Array,
+                idx_order: jax.Array, idx_sorted: jax.Array) -> jax.Array:
+    """x[idx] whose backward is a sorted segment-sum, not a scatter-add.
+
+    idx_order is a permutation sorting idx ascending (host-precomputed);
+    idx_sorted = idx[idx_order].  num_rows = x.shape[0] (static).
+    """
+    return jnp.take(x, idx, axis=0)
+
+
+def _rg_fwd(num_rows, x, idx, idx_order, idx_sorted):
+    return jnp.take(x, idx, axis=0), (idx_order, idx_sorted)
+
+
+def _rg_bwd(num_rows, res, ct):
+    idx_order, idx_sorted = res
+    d = jax.ops.segment_sum(jnp.take(ct, idx_order, axis=0), idx_sorted,
+                            num_rows, indices_are_sorted=True)
+    return d, None, None, None
+
+
+rows_gather.defvjp(_rg_fwd, _rg_bwd)
+
+
+def sort_perm_by_segmented_keys(keys: jax.Array, segment_ids: jax.Array):
+    """(perm, inv_perm) ordering keys ascending within sorted segments."""
+    iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    _, _, perm = jax.lax.sort((segment_ids, keys, iota), dimension=0,
+                              is_stable=True, num_keys=2)
+    return perm, invert_permutation(perm)
+
+
 def row_ptr_to_segment_ids(row_ptr: jax.Array, num_edges: int) -> jax.Array:
     """Expand CSR row pointers to per-edge segment ids (host or device)."""
     num_segments = row_ptr.shape[0] - 1

@@ -43,6 +43,7 @@ def _shard_specs(shards: GraphShards) -> GraphShards:
         src=P('graph'), dst=P('graph'), weight=P('graph'),
         row_ptr=P('graph'), in_degrees=P('graph'),
         recip_start=P('graph'), recip_count=P('graph'),
+        src_order=P('graph'), src_sorted=P('graph'),
         edge_feat=None if shards.edge_feat is None else P('graph'),
         num_nodes=shards.num_nodes,
         num_recipients=shards.num_recipients,
@@ -62,6 +63,8 @@ def _local_graph(shards: GraphShards, local: GraphShards):
     return Graph(src=local.src[0], dst=local.dst[0], weight=local.weight[0],
                  row_ptr=local.row_ptr[0], in_degrees=local.in_degrees[0],
                  edge_feat=ef,
+                 src_order=local.src_order[0],
+                 src_sorted=local.src_sorted[0],
                  num_nodes=shards.num_shards * shards.shard_num_recipients,
                  num_recipients=shards.shard_num_recipients,
                  num_edges=local.src.shape[1])

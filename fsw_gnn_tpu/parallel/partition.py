@@ -35,13 +35,15 @@ class GraphShards:
     `src` is therefore in *padded-global* ids: owner*R_shard + local_row.
     dst is *local* (shard-relative) recipient ids.
     """
-    src: jax.Array          # (P, E_shard) int32, global sender ids
+    src: jax.Array          # (P, E_shard) int32, padded-global sender ids
     dst: jax.Array          # (P, E_shard) int32, local recipient ids
     weight: jax.Array       # (P, E_shard)
     row_ptr: jax.Array      # (P, R_shard + 1) int32
     in_degrees: jax.Array   # (P, R_shard)
     recip_start: jax.Array  # (P,) int32 global id of local recipient 0
     recip_count: jax.Array  # (P,) int32 number of real recipients in shard
+    src_order: jax.Array = None    # (P, E_shard) sender-sorting permutation
+    src_sorted: jax.Array = None   # (P, E_shard) src[src_order]
     edge_feat: Optional[jax.Array] = None   # (P, E_shard, d_edge)
     num_nodes: int = struct.field(pytree_node=False, default=0)
     num_recipients: int = struct.field(pytree_node=False, default=0)
@@ -141,11 +143,15 @@ def partition_graph(graph: Graph, num_shards: int,
         o_rp[p, nr + 1:] = ne
         o_deg[p, :nr] = indeg[r0:r1]
 
+    o_order = np.argsort(o_src, axis=1, kind='stable').astype(np.int32)
+    o_src_sorted = np.take_along_axis(o_src, o_order, axis=1)
+
     return GraphShards(
         src=jnp.asarray(o_src), dst=jnp.asarray(o_dst),
         weight=jnp.asarray(o_w), row_ptr=jnp.asarray(o_rp),
         in_degrees=jnp.asarray(o_deg),
         recip_start=jnp.asarray(starts), recip_count=jnp.asarray(counts),
+        src_order=jnp.asarray(o_order), src_sorted=jnp.asarray(o_src_sorted),
         edge_feat=None if o_ef is None else jnp.asarray(o_ef),
         num_nodes=graph.num_nodes, num_recipients=R, num_shards=P,
         shard_num_recipients=R_shard)
