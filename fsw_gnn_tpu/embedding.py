@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.segment import (permutation_gather, rows_gather, segment_cumsum,
-                          segment_sort, segment_sum,
+                          segment_sort, segment_sort_fused, segment_sum,
                           sort_perm_by_segmented_keys)
 
 
@@ -267,7 +267,8 @@ def fsw_embed_graph(X: jax.Array,
                     cfg: FSWConfig,
                     bias: Optional[jax.Array] = None,
                     total_mass_scale: Optional[jax.Array] = None,
-                    slice_chunk: Optional[int] = None) -> jax.Array:
+                    slice_chunk: Optional[int] = None,
+                    vjp_mode: str = 'rows') -> jax.Array:
     """Embed every recipient's in-neighborhood of a CSR `Graph`.
 
     X: (num_nodes, d_in) sender features.  Returns (num_recipients, d_out)
@@ -289,7 +290,7 @@ def fsw_embed_graph(X: jax.Array,
     pad_norm_e = jnp.take(pad_norm, dst)                           # (E,)
 
     Xp = X @ projVecs[:, :cfg.d_in].T                              # (N, S)
-    if graph.src_order is not None:
+    if vjp_mode in ('rows', 'both') and graph.src_order is not None:
         # scatter-free backward: adjoint is a sorted segment-sum
         P = rows_gather(graph.num_nodes, Xp, graph.src, graph.src_order,
                         graph.src_sorted)                          # (E, S)
@@ -301,11 +302,16 @@ def fsw_embed_graph(X: jax.Array,
 
     def one_slice(p_k, f_k):
         """p_k: (E,) projections for one slice; f_k: () or (F,) freqs."""
-        # permutation-based segmented sort: the adjoint of each gather is a
-        # gather by the inverse permutation (no scatters in the backward)
-        perm, inv_perm = sort_perm_by_segmented_keys(p_k, dst)
-        ps = permutation_gather(p_k, perm, inv_perm)
-        ws = permutation_gather(wn, perm, inv_perm)
+        if vjp_mode in ('fused', 'rows'):
+            # one forward sort (payloads + permutation); backward inverts the
+            # permutation with one int sort and gathers -- no scatters
+            ps, ws = segment_sort_fused(p_k, wn, dst)
+        elif vjp_mode in ('perm', 'both'):
+            perm, inv_perm = sort_perm_by_segmented_keys(p_k, dst)
+            ps = permutation_gather(p_k, perm, inv_perm)
+            ws = permutation_gather(wn, perm, inv_perm)
+        else:
+            ps, ws = segment_sort(p_k, wn, segment_ids=dst)
         c = segment_cumsum(ws, dst, graph.row_ptr) + pad_norm_e * (ps > 0)
         if cfg.cartesian_mode:
             sd = _sinc_diff(ws[:, None], c[:, None], f_k)          # (E, F)

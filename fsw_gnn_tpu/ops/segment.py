@@ -152,6 +152,37 @@ def _rg_bwd(num_rows, res, ct):
 rows_gather.defvjp(_rg_fwd, _rg_bwd)
 
 
+@jax.custom_vjp
+def segment_sort_fused(keys: jax.Array, carried: jax.Array,
+                       segment_ids: jax.Array):
+    """Segmented sort of (keys, carried) with a scatter-free backward.
+
+    Forward: ONE lex sort carrying both payloads and an iota (the
+    permutation).  Backward: one int sort inverts the permutation, then the
+    cotangents are plain gathers.  Returns (sorted_keys, sorted_carried).
+    """
+    out = jax.lax.sort((segment_ids, keys, carried),
+                       dimension=0, is_stable=True, num_keys=2)
+    return out[1], out[2]
+
+
+def _ssf_fwd(keys, carried, segment_ids):
+    iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    _, ks, cs, perm = jax.lax.sort((segment_ids, keys, carried, iota),
+                                   dimension=0, is_stable=True, num_keys=2)
+    return (ks, cs), perm
+
+
+def _ssf_bwd(perm, cts):
+    ct_keys, ct_carried = cts
+    inv = invert_permutation(perm)
+    return (jnp.take(ct_keys, inv, axis=0),
+            jnp.take(ct_carried, inv, axis=0), None)
+
+
+segment_sort_fused.defvjp(_ssf_fwd, _ssf_bwd)
+
+
 def sort_perm_by_segmented_keys(keys: jax.Array, segment_ids: jax.Array):
     """(perm, inv_perm) ordering keys ascending within sorted segments."""
     iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
