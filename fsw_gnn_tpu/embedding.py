@@ -44,7 +44,7 @@ import jax.numpy as jnp
 
 from .ops.segment import (permutation_gather, rows_gather, segment_cumsum,
                           segment_sort, segment_sort_fused, segment_sum,
-                          sort_perm_by_segmented_keys)
+                          sort_pairs_fused, sort_perm_by_segmented_keys)
 
 
 # ---------------------------------------------------------------------------
@@ -220,12 +220,9 @@ def fsw_embed_multiset(X: jax.Array,
     wn = W / w_sum_padded[..., None]                              # (..., n)
 
     Xp = jnp.einsum('...nd,sd->...ns', X, projVecs[:, :cfg.d_in])  # (..., n, S)
-    ps, perm = jax.lax.sort_key_val(
-        jnp.moveaxis(Xp, -2, -1),                                  # (..., S, n)
-        jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
-                         Xp.shape[:-2] + (Xp.shape[-1], n)),
-        dimension=-1, is_stable=True)
-    ws = jnp.take_along_axis(wn[..., None, :], perm, axis=-1)      # (..., S, n)
+    keys = jnp.moveaxis(Xp, -2, -1)                                # (..., S, n)
+    ps, ws = sort_pairs_fused(
+        keys, jnp.broadcast_to(wn[..., None, :], keys.shape))      # (..., S, n)
 
     c = jnp.cumsum(ws, axis=-1) + pad_norm[..., None, None] * (ps > 0)
 
@@ -389,11 +386,9 @@ def fsw_embed_table(X: jax.Array,
             P = P + table.edge_feat @ proj_block[:, cfg.d_in:].T
 
         # sort neighborhoods along the bucket axis per slice
-        ps, ws = jax.lax.sort(
-            (jnp.moveaxis(P, 1, 2),                                # (R, S, B)
-             jnp.broadcast_to(wn[:, None, :], P.shape[:1] +
-                              (P.shape[2], P.shape[1]))),
-            dimension=2, is_stable=True, num_keys=1)
+        keysB = jnp.moveaxis(P, 1, 2)                              # (R, S, B)
+        ps, ws = sort_pairs_fused(
+            keysB, jnp.broadcast_to(wn[:, None, :], keysB.shape))
         c = jnp.cumsum(ws, axis=2) + pad_norm[:, None, None] * (ps > 0)
 
         if cfg.cartesian_mode:
@@ -469,12 +464,9 @@ def fsw_embed_graph_dense(X: jax.Array,
         P = jnp.broadcast_to(Xp[..., None, :, :],
                              W.shape[:-1] + Xp.shape[-2:])         # (..., R, n, S)
 
-    ps, perm = jax.lax.sort_key_val(
-        jnp.moveaxis(P, -2, -1),                                   # (..., R, S, n)
-        jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
-                         P.shape[:-2] + (P.shape[-1], n)),
-        dimension=-1, is_stable=True)
-    ws = jnp.take_along_axis(wn[..., None, :], perm, axis=-1)      # (..., R, S, n)
+    keys = jnp.moveaxis(P, -2, -1)                                 # (..., R, S, n)
+    ps, ws = sort_pairs_fused(
+        keys, jnp.broadcast_to(wn[..., None, :], keys.shape))      # (..., R, S, n)
 
     c = jnp.cumsum(ws, axis=-1) + pad_norm[..., None, None] * (ps > 0)
 

@@ -33,14 +33,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _partner_exchange(x, j):
-    """Values of each position's bitonic partner (i ^ j) along axis 1,
-    expressed as reshape + flip (no gathers, no captured index constants --
-    pallas kernels may not close over array constants)."""
-    TR, B, TS = x.shape
-    x5 = x.reshape(TR, B // (2 * j), 2, j, TS)
-    x5 = jnp.flip(x5, axis=2)
-    return x5.reshape(TR, B, TS)
+def _partner_exchange(x, j, pos):
+    """Values of each position's bitonic partner (i ^ j) along axis 1.
+
+    i ^ j = i + j when bit j of i is clear, i - j when set; expressed as two
+    rolls and a select (Mosaic-lowerable: no gathers, no flips, no captured
+    index constants).  Rolled-in values from other blocks are never selected.
+    """
+    down = jnp.roll(x, -j, axis=1)    # x[i + j]
+    up = jnp.roll(x, j, axis=1)       # x[i - j]
+    return jnp.where((pos & j) == 0, down, up)
 
 
 def _sort_pairs_along_b(ps, ws, b_axis=1):
@@ -61,8 +63,8 @@ def _sort_pairs_along_b(ps, ws, b_axis=1):
         for j_exp in range(k_exp - 1, -1, -1):
             j = 1 << j_exp
             low = (pos & j) == 0
-            pp = _partner_exchange(ps, j)
-            wp = _partner_exchange(ws, j)
+            pp = _partner_exchange(ps, j, pos)
+            wp = _partner_exchange(ws, j, pos)
             lower_val = jnp.where(low, ps, pp)
             upper_val = jnp.where(low, pp, ps)
             swap = jnp.where(asc, lower_val > upper_val,
@@ -86,20 +88,16 @@ def _cumsum_along_b(x, b_axis):
     return x
 
 
-def _fsw_table_kernel(idx_ref, wn_ref, pad_ref, xp_ref, freq_ref, out_ref):
+def _fsw_table_kernel(p_ref, wn_ref, pad_ref, freq_ref, out_ref):
     """One (TR, TS) output tile.
 
-    idx_ref: (TR, B) int32; wn_ref: (TR, B) f32; pad_ref: (TR, 1) f32;
-    xp_ref: (N, TS) f32 (whole slice block resident); freq_ref: (1, TS);
+    p_ref: (TR, B, TS) f32 projections (gathered outside by XLA -- Mosaic's
+    gather lowering does not cover arbitrary row gathers in-kernel);
+    wn_ref: (TR, B) f32; pad_ref: (TR, 1) f32; freq_ref: (1, TS);
     out_ref: (TR, TS).
     """
-    idx = idx_ref[:]                                   # (TR, B)
-    TR, B = idx.shape
-    TS = xp_ref.shape[1]
-
-    # gather the projections of each bucket entry: (TR, B, TS)
-    flat = idx.reshape(TR * B)
-    P = jnp.take(xp_ref[:], flat, axis=0).reshape(TR, B, TS)
+    P = p_ref[:]                                       # (TR, B, TS)
+    TR, B, TS = P.shape
 
     wn = wn_ref[:]                                     # (TR, B)
     ws = jnp.broadcast_to(wn[:, :, None], (TR, B, TS))
@@ -128,6 +126,18 @@ def fsw_table_forward(idx: jax.Array, wn: jax.Array, pad_norm: jax.Array,
     R, B = idx.shape
     N, S = Xp.shape
     assert B & (B - 1) == 0, 'bucket size must be a power of two'
+    # row gather by XLA (fast); sort/cumsum/quadrature fused in the kernel
+    P = jnp.take(Xp, idx.reshape(-1), axis=0).reshape(R, B, S)
+    return _fsw_table_call(P, wn, pad_norm, freqs, tile_r=tile_r,
+                           tile_s=tile_s, interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('tile_r', 'tile_s', 'interpret'))
+def _fsw_table_call(P: jax.Array, wn: jax.Array, pad_norm: jax.Array,
+                    freqs: jax.Array, tile_r: int = 64, tile_s: int = 128,
+                    interpret: bool = False) -> jax.Array:
+    R, B, S = P.shape
     tile_r = min(tile_r, R)
     tile_s = min(tile_s, S)
 
@@ -136,11 +146,11 @@ def fsw_table_forward(idx: jax.Array, wn: jax.Array, pad_norm: jax.Array,
     R_pad = -(-R // tile_r) * tile_r
     S_pad = -(-S // tile_s) * tile_s
     if R_pad != R:
-        idx = jnp.pad(idx, ((0, R_pad - R), (0, 0)))
+        P = jnp.pad(P, ((0, R_pad - R), (0, 0), (0, 0)))
         wn = jnp.pad(wn, ((0, R_pad - R), (0, 0)))
         pad_norm = jnp.pad(pad_norm, (0, R_pad - R))
     if S_pad != S:
-        Xp = jnp.pad(Xp, ((0, 0), (0, S_pad - S)))
+        P = jnp.pad(P, ((0, 0), (0, 0), (0, S_pad - S)))
         freqs = jnp.pad(freqs, (0, S_pad - S))
 
     pad2 = pad_norm.reshape(R_pad, 1)
@@ -151,20 +161,18 @@ def fsw_table_forward(idx: jax.Array, wn: jax.Array, pad_norm: jax.Array,
         _fsw_table_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_r, B), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_r, B, tile_s), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_r, B), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_r, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, tile_s), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_s), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_r, tile_s), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R_pad, S_pad), Xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((R_pad, S_pad), P.dtype),
         interpret=interpret,
-    )(idx, wn, pad2, Xp, freq2)
+    )(P, wn, pad2, freq2)
     return out[:R, :S]

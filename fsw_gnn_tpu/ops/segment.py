@@ -187,6 +187,34 @@ def _ssf_bwd(perm, cts):
 segment_sort_fused.defvjp(_ssf_fwd, _ssf_bwd)
 
 
+@jax.custom_vjp
+def sort_pairs_fused(keys: jax.Array, carried: jax.Array):
+    """Sort (keys asc) carrying `carried`, along the LAST axis, batched over
+    leading axes, with the sort-based-unsort backward (one extra sort keyed
+    on the permutation instead of elementwise scatters/gathers)."""
+    out = jax.lax.sort((keys, carried), dimension=-1, is_stable=True,
+                       num_keys=1)
+    return out[0], out[1]
+
+
+def _spf_fwd(keys, carried):
+    iota = jnp.broadcast_to(
+        jnp.arange(keys.shape[-1], dtype=jnp.int32), keys.shape)
+    ks, cs, perm = jax.lax.sort((keys, carried, iota), dimension=-1,
+                                is_stable=True, num_keys=1)
+    return (ks, cs), perm
+
+
+def _spf_bwd(perm, cts):
+    ct_keys, ct_carried = cts
+    _, dk, dc = jax.lax.sort((perm, ct_keys, ct_carried), dimension=-1,
+                             num_keys=1)
+    return dk, dc
+
+
+sort_pairs_fused.defvjp(_spf_fwd, _spf_bwd)
+
+
 def sort_perm_by_segmented_keys(keys: jax.Array, segment_ids: jax.Array):
     """(perm, inv_perm) ordering keys ascending within sorted segments."""
     iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
