@@ -104,7 +104,8 @@ def _fsw_table_kernel(p_ref, wn_ref, pad_ref, freq_ref, out_ref):
     ps, ws = _sort_pairs_along_b(P, ws, b_axis=1)
 
     c = _cumsum_along_b(ws, b_axis=1)
-    c = c + pad_ref[:][:, None, :] * (ps > 0)          # (TR,1,1) broadcast
+    pad_b = jnp.broadcast_to(pad_ref[:][:, None, :], c.shape)
+    c = c + jnp.where(ps > 0, pad_b, jnp.zeros_like(c))
 
     f = freq_ref[:][None, :, :]                        # (1, 1, TS)
     sd = 2.0 * ws * jnp.sinc(f * ws) * jnp.cos(
