@@ -14,7 +14,7 @@ N_NODES = int(os.environ.get('FSW_FT_NODES', 8192))
 AVG_DEG = int(os.environ.get('FSW_FT_DEG', 16))
 D_IN = int(os.environ.get('FSW_FT_DIN', 64))
 EMBED = int(os.environ.get('FSW_FT_EMBED', 129))  # nSlices = 128
-TILE_R = int(os.environ.get('FSW_FT_TILE_R', 64))
+TILE_R = int(os.environ.get('FSW_FT_TILE_R', 16))
 TILE_S = int(os.environ.get('FSW_FT_TILE_S', 128))
 ITERS = int(os.environ.get('FSW_FT_ITERS', 20))
 INTERPRET = os.environ.get('FSW_FT_INTERPRET', '0') == '1'

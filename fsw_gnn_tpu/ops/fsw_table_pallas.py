@@ -20,6 +20,14 @@ writing (R, S) once.
 
 Scope (round 1): non-cartesian mode, no edge features; f32.  The XLA paths
 remain the general fallback.
+
+STATUS: EXPERIMENTAL.  Correct under the Pallas interpreter (tests); on
+v5e hardware it compiles (after working around Mosaic's no-flip /
+no-bool-select-on-rank-3 / VMEM-stack limits) but currently returns values
+diverging from the XLA path by ~0.1 abs (benchmarks/bench_fused_table.py)
+and is only ~1.1x the XLA forward -- the rank-3 roll-based bitonic does not
+hit the expected VMEM speed.  Do not wire into the default path until the
+hardware mismatch is root-caused (suspect: sublane rolls on rank-3 tiles).
 """
 from __future__ import annotations
 
@@ -67,8 +75,14 @@ def _sort_pairs_along_b(ps, ws, b_axis=1):
             wp = _partner_exchange(ws, j, pos)
             lower_val = jnp.where(low, ps, pp)
             upper_val = jnp.where(low, pp, ps)
-            swap = jnp.where(asc, lower_val > upper_val,
-                             lower_val < upper_val)
+            # swap iff (lower > upper) == ascending; expressed with i1
+            # logical ops -- a bool-valued jnp.where lowers to an i8 select
+            # + unsupported rank-3 i8->i1 truncation in Mosaic.  The only
+            # behavioral difference vs the two-branch form is that ties in
+            # descending blocks swap (p equal, w exchanged): multiset of
+            # (p, w) pairs is preserved either way.
+            swap = jnp.logical_not(
+                jnp.logical_xor(lower_val > upper_val, asc))
             ps = jnp.where(swap, pp, ps)
             ws = jnp.where(swap, wp, ws)
     return ps, ws
@@ -117,7 +131,7 @@ def _fsw_table_kernel(p_ref, wn_ref, pad_ref, freq_ref, out_ref):
                    static_argnames=('tile_r', 'tile_s', 'interpret'))
 def fsw_table_forward(idx: jax.Array, wn: jax.Array, pad_norm: jax.Array,
                       Xp: jax.Array, freqs: jax.Array,
-                      tile_r: int = 64, tile_s: int = 128,
+                      tile_r: int = 16, tile_s: int = 128,
                       interpret: bool = False) -> jax.Array:
     """out (R, S): fused FSW aggregation over a dense neighbor table.
 
@@ -136,7 +150,7 @@ def fsw_table_forward(idx: jax.Array, wn: jax.Array, pad_norm: jax.Array,
 @functools.partial(jax.jit,
                    static_argnames=('tile_r', 'tile_s', 'interpret'))
 def _fsw_table_call(P: jax.Array, wn: jax.Array, pad_norm: jax.Array,
-                    freqs: jax.Array, tile_r: int = 64, tile_s: int = 128,
+                    freqs: jax.Array, tile_r: int = 16, tile_s: int = 128,
                     interpret: bool = False) -> jax.Array:
     R, B, S = P.shape
     tile_r = min(tile_r, R)

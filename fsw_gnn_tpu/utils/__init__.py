@@ -1,1 +1,3 @@
 from .dsmetric import dsmetric
+from .validate import (validate_multiset_inputs, validate_edge_index,
+                       validate_graph, checkify_embed)
