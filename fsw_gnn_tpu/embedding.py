@@ -286,7 +286,8 @@ def fsw_embed_graph(X: jax.Array,
     wn = w / jnp.take(w_sum_padded, dst)                           # (E,)
     pad_norm_e = jnp.take(pad_norm, dst)                           # (E,)
 
-    Xp = X @ projVecs[:, :cfg.d_in].T                              # (N, S)
+    with jax.named_scope('fsw_project'):
+        Xp = X @ projVecs[:, :cfg.d_in].T                          # (N, S)
     if vjp_mode in ('rows', 'both') and graph.src_order is not None:
         # scatter-free backward: adjoint is a sorted segment-sum
         P = rows_gather(graph.num_nodes, Xp, graph.src, graph.src_order,
@@ -309,7 +310,8 @@ def fsw_embed_graph(X: jax.Array,
             ws = permutation_gather(wn, perm, inv_perm)
         else:
             ps, ws = segment_sort(p_k, wn, segment_ids=dst)
-        c = segment_cumsum(ws, dst, graph.row_ptr) + pad_norm_e * (ps > 0)
+        with jax.named_scope('fsw_segcumsum'):
+            c = segment_cumsum(ws, dst, graph.row_ptr) + pad_norm_e * (ps > 0)
         if cfg.cartesian_mode:
             sd = _sinc_diff(ws[:, None], c[:, None], f_k)          # (E, F)
             out = segment_sum(ps[:, None] * sd, dst, R)            # (R, F)

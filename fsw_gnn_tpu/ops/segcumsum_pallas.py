@@ -8,11 +8,15 @@ block-sum fixup with full device syncs between launches, the TPU version is
 ONE kernel with a sequential grid:
 
   * the flat value array is viewed as (rows, 128) lanes;
-  * each grid step owns a (ROWS_PER_BLOCK, 128) tile in VMEM;
+  * each grid step owns a (ROWS, 128) tile in VMEM;
   * within a row: log-stride doubling scan across lanes, masked by
     segment-id equality (the reference's `segment_ids[i-s] == segment_ids[i]`
     zeroing, fsw_embedding.cu:68-75);
-  * across rows of a tile: an 8-step segmented combine of row totals;
+  * across the rows of a tile: the inter-row carry C_r satisfies the affine
+    recurrence C_r = g_r*(t_{r-1} + m_{r-1}*C_{r-1}) (g = chains into row r,
+    m = row single-segment, t = row's last-segment total), solved with an
+    affine-map doubling scan along the sublane axis -- rolls + masks only,
+    no dynamic indexing (Mosaic forbids dynamic_slice on values);
   * across tiles: a (total, last_segment_id) carry in SMEM -- TPU grid
     steps run sequentially on a core, so the carry needs no atomics or
     multi-kernel hierarchy.
@@ -41,10 +45,26 @@ def _row_segscan(vals, segs):
     while stride < n:
         shifted_v = jnp.roll(vals, stride, axis=-1)
         shifted_s = jnp.roll(segs, stride, axis=-1)
-        ok = jnp.logical_and(lane >= stride, shifted_s == segs)
+        ok = jnp.logical_and(lane >= stride,
+                             shifted_s == segs)
         vals = vals + jnp.where(ok, shifted_v, jnp.zeros_like(vals))
         stride *= 2
     return vals
+
+
+def _affine_carry_scan(a, b, rows):
+    """Solve C_r = a_r + b_r * C_{r-1} (C_{-1} treated as 0) along axis 0 of
+    (ROWS, 1) arrays by composing affine maps with doubling."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    stride = 1
+    while stride < rows:
+        a_sh = jnp.roll(a, stride, axis=0)
+        b_sh = jnp.roll(b, stride, axis=0)
+        valid = pos >= stride
+        a = a + jnp.where(valid, b * a_sh, jnp.zeros_like(a))
+        b = b * jnp.where(valid, b_sh, jnp.zeros_like(b))
+        stride *= 2
+    return a
 
 
 def _segcumsum_kernel(v_ref, s_ref, out_ref, carry_v, carry_s):
@@ -55,37 +75,46 @@ def _segcumsum_kernel(v_ref, s_ref, out_ref, carry_v, carry_s):
         carry_v[0] = jnp.zeros((), v_ref.dtype)
         carry_s[0] = jnp.full((), -1, jnp.int32)
 
-    vals = v_ref[:]                       # (ROWS, LANES)
+    vals = v_ref[:]                        # (ROWS, LANES)
     segs = s_ref[:]
     rows = vals.shape[0]
 
     # 1) lane-wise segmented scan within each row
     scanned = _row_segscan(vals, segs)
 
-    # 2) stitch rows: row r inherits the chained prefix of rows < r
-    #    (applies to a row's leading elements while seg == first seg of row)
-    row_last_v = scanned[:, -1]           # (ROWS,)
-    row_last_s = segs[:, -1]
-    row_first_s = segs[:, 0]
+    # 2) inter-row carries.  Row summaries as (ROWS, 1) sublane vectors:
+    t = scanned[:, LANES - 1:LANES]        # last-segment running total
+    first_s = segs[:, 0:1]
+    last_s = segs[:, LANES - 1:LANES]
 
-    def row_fix(r, acc):
-        scanned_acc, carry_val, carry_seg = acc
-        add = jnp.where(segs[r] == carry_seg, carry_val,
-                        jnp.zeros((), vals.dtype))
-        # only the leading run of carry_seg continues the previous segment;
-        # equal ids reappearing later in the row are impossible since segment
-        # ids are sorted (non-decreasing) -- the mask is exact
-        scanned_acc = scanned_acc.at[r].add(add)
-        new_total = scanned_acc[r, -1]
-        return scanned_acc, new_total, row_last_s[r]
+    prev_last_s = jnp.roll(last_s, 1, axis=0)
+    prev_t = jnp.roll(t, 1, axis=0)
+    prev_single = jnp.roll(
+        jnp.where(first_s == last_s, jnp.ones_like(t), jnp.zeros_like(t)),
+        1, axis=0)
+    # row 0 chains from the previous tile's carry
+    pos = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    is_row0 = pos == 0
+    prev_last_s = jnp.where(is_row0,
+                            jnp.full_like(prev_last_s, carry_s[0]),
+                            prev_last_s)
+    prev_t = jnp.where(is_row0, jnp.full_like(prev_t, carry_v[0]), prev_t)
+    prev_single = jnp.where(is_row0, jnp.zeros_like(prev_single), prev_single)
 
-    # initial carry from previous tiles
-    init = (scanned, carry_v[0], carry_s[0])
-    scanned, last_v, last_s = jax.lax.fori_loop(0, rows, row_fix, init)
+    g = jnp.where(first_s == prev_last_s, jnp.ones_like(t),
+                  jnp.zeros_like(t))       # chains into row r
+    a = g * prev_t
+    b = g * prev_single
+    C = _affine_carry_scan(a, b, rows)     # (ROWS, 1) carry into each row
+
+    # 3) apply: the carry adds to each row's leading segment
+    scanned = scanned + jnp.where(segs == first_s, C,
+                                  jnp.zeros_like(scanned))
 
     out_ref[:] = scanned
-    carry_v[0] = last_v
-    carry_s[0] = last_s
+    # 4) next tile's carry: the (now corrected) last element of this tile
+    carry_v[0] = scanned[rows - 1, LANES - 1]
+    carry_s[0] = segs[rows - 1, LANES - 1]
 
 
 @functools.partial(jax.jit, static_argnames=('rows_per_block', 'interpret'))

@@ -37,6 +37,8 @@ class TrainConfig:
     embed_dim: Optional[int] = None          # None -> reference heuristic
                                              # 2*max(in, out) per layer
     learning_rate: float = 1e-2
+    lr_schedule: Optional[str] = None        # None | 'cosine' | 'warmup_cosine'
+    warmup_epochs: int = 10
     weight_decay: float = 0.0
     epochs: int = 100
     eval_every: int = 5
@@ -70,11 +72,19 @@ class Trainer:
         self.params = variables['params']
         self.fixed = {k: v for k, v in variables.items() if k != 'params'}
 
-        if config.weight_decay > 0:
-            self.opt = optax.adamw(config.learning_rate,
-                                   weight_decay=config.weight_decay)
+        if config.lr_schedule == 'cosine':
+            lr = optax.cosine_decay_schedule(config.learning_rate,
+                                             config.epochs)
+        elif config.lr_schedule == 'warmup_cosine':
+            lr = optax.warmup_cosine_decay_schedule(
+                0.0, config.learning_rate, config.warmup_epochs,
+                config.epochs)
         else:
-            self.opt = optax.adam(config.learning_rate)
+            lr = config.learning_rate
+        if config.weight_decay > 0:
+            self.opt = optax.adamw(lr, weight_decay=config.weight_decay)
+        else:
+            self.opt = optax.adam(lr)
         self.opt_state = self.opt.init(self.params)
         self.step_count = 0
         self.history: list = []
