@@ -47,10 +47,9 @@ def main():
     edge_index = np.stack([src[keep], dst[keep]])
     g = from_edge_index(edge_index, N_NODES, dtype=jnp.float32)
     E_real = g.num_edges
-    # 'csr' measured 1.7x faster than 'table' on v5e (round 1): the global
-    # (S, E) lax.sort beats the padded (R, S, B) per-bucket sort because the
-    # bucketed intermediates are ~2.5x larger and sort batching is efficient
-    layout = os.environ.get('FSW_BENCH_LAYOUT', 'csr')
+    # 'table' (bucketed) measured 2.3x faster than 'csr' on v5e once the
+    # sort-based-unsort VJPs landed: log^2(B) bitonic passes beat log^2(E)
+    layout = os.environ.get('FSW_BENCH_LAYOUT', 'table')
     if layout == 'table':
         from fsw_gnn_tpu import to_neighbor_table
         g = to_neighbor_table(g)

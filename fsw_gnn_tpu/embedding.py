@@ -200,13 +200,15 @@ def fsw_embed_multiset(X: jax.Array,
                        cfg: FSWConfig,
                        bias: Optional[jax.Array] = None,
                        total_mass_scale: Optional[jax.Array] = None,
-                       w_mode: str = 'unit') -> jax.Array:
+                       w_mode: str = 'unit',
+                       slice_chunk: Optional[int] = None) -> jax.Array:
     """Embed batched weighted multisets.
 
     X: (..., n, d_in); W: (..., n) nonnegative, or None with
     w_mode in {'unit','uniform'} (fsw_embedding.py:726-732).
     Returns (..., d_out) -- or (..., nSlices, nFreqs) in non-collapsed
-    cartesian mode.
+    cartesian mode.  `slice_chunk` serializes the slice axis to cap peak
+    memory (the reference's serialize_num_slices, fsw_embedding.py:839-851).
     """
     n = X.shape[-2]
     dt = X.dtype
@@ -219,23 +221,46 @@ def fsw_embed_multiset(X: jax.Array,
     pad_norm = lowclamp(cfg.total_mass_pad_thresh - w_sum, 0.0) / w_sum_padded
     wn = W / w_sum_padded[..., None]                              # (..., n)
 
-    Xp = jnp.einsum('...nd,sd->...ns', X, projVecs[:, :cfg.d_in])  # (..., n, S)
-    keys = jnp.moveaxis(Xp, -2, -1)                                # (..., S, n)
-    ps, ws = sort_pairs_fused(
-        keys, jnp.broadcast_to(wn[..., None, :], keys.shape))      # (..., S, n)
+    def slices_block(V_block, f_block):
+        """V_block: (S_blk, d_in) slice vectors; f_block: (S_blk,) or (F,)."""
+        Xp = jnp.einsum('...nd,sd->...ns', X, V_block)             # (..., n, Sb)
+        keys = jnp.moveaxis(Xp, -2, -1)                            # (..., Sb, n)
+        ps, ws = sort_pairs_fused(
+            keys, jnp.broadcast_to(wn[..., None, :], keys.shape))
+        c = jnp.cumsum(ws, axis=-1) + pad_norm[..., None, None] * (ps > 0)
+        if cfg.cartesian_mode:
+            sd = _sinc_diff(ws[..., None], c[..., None], f_block)  # (...,Sb,n,F)
+            emb = jnp.einsum('...sn,...snf->...sf', ps, sd)
+            return (1.0 + f_block) * emb                           # (..., Sb, F)
+        sd = _sinc_diff(ws, c, f_block[..., :, None])              # (..., Sb, n)
+        emb = jnp.sum(ps * sd, axis=-1)
+        return (1.0 + f_block) * emb                               # (..., Sb)
 
-    c = jnp.cumsum(ws, axis=-1) + pad_norm[..., None, None] * (ps > 0)
-
-    if cfg.cartesian_mode:
-        f = freqs                                                  # (F,)
-        sd = _sinc_diff(ws[..., None], c[..., None], f)            # (..., S, n, F)
-        emb = jnp.einsum('...sn,...snf->...sf', ps, sd)            # (..., S, F)
-        emb = (1.0 + f) * emb
+    S = cfg.nSlices
+    V = projVecs[:, :cfg.d_in]
+    if slice_chunk is None or slice_chunk >= S:
+        if cfg.cartesian_mode:
+            emb = slices_block(V, freqs)
+        else:
+            emb = slices_block(V, freqs)
     else:
-        f = freqs[..., :, None]                                    # (S, 1)
-        sd = _sinc_diff(ws, c, f)                                  # (..., S, n)
-        emb = jnp.sum(ps * sd, axis=-1)                            # (..., S)
-        emb = (1.0 + freqs) * emb
+        n_chunks = -(-S // slice_chunk)
+        S_pad = n_chunks * slice_chunk
+        V_pad = jnp.pad(V, ((0, S_pad - S), (0, 0)))
+        if cfg.cartesian_mode:
+            emb = jax.lax.map(lambda v: slices_block(v, freqs),
+                              V_pad.reshape(n_chunks, slice_chunk, -1))
+            emb = jnp.moveaxis(emb, 0, -3)
+            emb = emb.reshape(emb.shape[:-3] + (S_pad,) + emb.shape[-1:])
+            emb = emb[..., :S, :]
+        else:
+            f_pad = jnp.pad(freqs, (0, S_pad - S))
+            emb = jax.lax.map(
+                lambda vf: slices_block(vf[0], vf[1]),
+                (V_pad.reshape(n_chunks, slice_chunk, -1),
+                 f_pad.reshape(n_chunks, slice_chunk)))
+            emb = jnp.moveaxis(emb, 0, -2)
+            emb = emb.reshape(emb.shape[:-2] + (S_pad,))[..., :S]
 
     return _finalize(emb, w_sum, cfg, bias, total_mass_scale)
 

@@ -243,6 +243,30 @@ def to_neighbor_table(graph: Graph, bucket_size: Optional[int] = None,
         num_nodes=graph.num_nodes, num_recipients=R, num_edges=E_real)
 
 
+def auto_layout(graph: Graph, max_bucket: int = 512,
+                max_expansion: float = 8.0):
+    """Choose the faster layout for this graph (host-side heuristic).
+
+    Measured on v5e (round 1, with the sort-based-unsort VJPs): the bucketed
+    NeighborTable is ~2.3x faster than CSR at avg degree 16 / B=64, because
+    the per-bucket bitonic sort costs log^2(B) passes instead of log^2(E).
+    It loses when padding explodes (power-law degrees): fall back to CSR
+    when the padded table exceeds `max_expansion` x the edge count or the
+    bucket exceeds `max_bucket`.
+    """
+    row_ptr = np.asarray(graph.row_ptr)
+    E_real = max(graph.num_edges, 1)
+    lo = np.minimum(row_ptr[:-1], E_real)
+    hi = np.minimum(row_ptr[1:], E_real)
+    max_deg = int((hi - lo).max()) if graph.num_recipients > 0 else 0
+    B = 2
+    while B < max(max_deg, 2):
+        B *= 2
+    if B > max_bucket or B * graph.num_recipients > max_expansion * E_real:
+        return graph
+    return to_neighbor_table(graph, bucket_size=B)
+
+
 def readout_graph(graph_index, num_vertices: int,
                   batch_size: Optional[int] = None,
                   *, pad_multiple: int = 128, dtype=jnp.float32) -> Graph:

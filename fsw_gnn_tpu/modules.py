@@ -110,4 +110,5 @@ class FSWEmbedding(nn.Module):
                                          X_edge=X_edge, bias=bias,
                                          total_mass_scale=tm_scale)
         return fsw_embed_multiset(X, W, proj, freqs, cfg, bias=bias,
-                                  total_mass_scale=tm_scale, w_mode=w_mode)
+                                  total_mass_scale=tm_scale, w_mode=w_mode,
+                                  slice_chunk=slice_chunk)

@@ -22,7 +22,7 @@ import numpy as np
 import optax
 
 from ..data.datasets import NodeClassificationData
-from ..graph import Graph, from_edge_index
+from ..graph import Graph, auto_layout, from_edge_index
 from ..models.gnn import FSWGNN
 from ..parallel import (make_distributed_train_step, make_graph_mesh,
                         make_distributed_forward, partition_graph,
@@ -60,6 +60,9 @@ class Trainer:
         self.cfg = config
         self.graph = from_edge_index(data.edge_index, data.num_nodes,
                                      dtype=jnp.float32)
+        # single-device compute uses the faster layout for this degree
+        # distribution; the distributed path partitions the CSR graph
+        self.compute_graph = auto_layout(self.graph)
         dims = tuple(config.hidden_dims) + (data.num_classes,)
         self.model = FSWGNN(
             in_channels=data.features.shape[1], hidden_dims=dims,
@@ -115,7 +118,8 @@ class Trainer:
     def _make_single_step(self):
         labels = jnp.asarray(self.data.labels)
         mask = jnp.asarray(self.data.train_mask, jnp.float32)
-        model, opt, fixed, graph = self.model, self.opt, self.fixed, self.graph
+        model, opt, fixed = self.model, self.opt, self.fixed
+        graph = self.compute_graph
 
         def loss_fn(params, X):
             logits = model.apply({'params': params, **fixed}, X, graph)
@@ -151,7 +155,7 @@ class Trainer:
             stacked = fwd(self.Xs, self.shards)
             return unshard_recipient_values(stacked, self.shards)
         out = self.model.apply({'params': self.params, **self.fixed},
-                               self.X, self.graph)
+                               self.X, self.compute_graph)
         return np.asarray(out)
 
     def evaluate(self) -> Dict[str, float]:

@@ -360,3 +360,28 @@ def test_distance_law():
     w1 = np.mean(np.abs(X1 - X2))
     # Monte-Carlo frequency quadrature: tolerance is loose by construction
     assert abs(emb_dist - w1) / w1 < 0.25
+
+
+def test_multiset_slice_chunking_invariance():
+    """slice_chunk must not change multiset results (both modes)."""
+    rng = np.random.default_rng(20)
+    n, d_in = 12, 4
+    X = jnp.asarray(rng.standard_normal((2, n, d_in)))
+    W = jnp.abs(jnp.asarray(rng.standard_normal((2, n)))) + 0.1
+
+    cfg = FSWConfig(d_in=d_in, d_out=10, enable_bias=False)
+    proj, freqs, _ = _rand_params(rng, cfg, bias=False)
+    full = fsw_embed_multiset(X, W, jnp.asarray(proj), jnp.asarray(freqs), cfg)
+    chunked = fsw_embed_multiset(X, W, jnp.asarray(proj), jnp.asarray(freqs),
+                                 cfg, slice_chunk=3)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               rtol=1e-12, atol=1e-13)
+
+    cfgc = FSWConfig(d_in=d_in, n_slices=7, n_freqs=4, enable_bias=False)
+    proj, freqs, _ = _rand_params(rng, cfgc, bias=False)
+    full = fsw_embed_multiset(X, W, jnp.asarray(proj), jnp.asarray(freqs),
+                              cfgc)
+    chunked = fsw_embed_multiset(X, W, jnp.asarray(proj), jnp.asarray(freqs),
+                                 cfgc, slice_chunk=2)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               rtol=1e-12, atol=1e-13)
