@@ -45,6 +45,8 @@ def _shard_specs(shards: GraphShards) -> GraphShards:
         recip_start=P('graph'), recip_count=P('graph'),
         src_order=P('graph'), src_sorted=P('graph'),
         edge_feat=None if shards.edge_feat is None else P('graph'),
+        tbl_idx=None if shards.tbl_idx is None else P('graph'),
+        tbl_w=None if shards.tbl_w is None else P('graph'),
         num_nodes=shards.num_nodes,
         num_recipients=shards.num_recipients,
         num_shards=shards.num_shards,
@@ -57,15 +59,26 @@ def _local_graph(shards: GraphShards, local: GraphShards):
     Only *static* metadata is read from `shards` -- capturing its (sharded)
     arrays in the closure would trip shard_map's no-closed-over-sharded-
     inputs rule; all array data comes from `local`, the shard_map argument.
+
+    Returns a NeighborTable when the shards carry the bucketed layout (the
+    faster compute layout), else a CSR Graph.
     """
-    from ..graph import Graph
+    from ..graph import Graph, NeighborTable
+    n_padded_global = shards.num_shards * shards.shard_num_recipients
+    if local.tbl_idx is not None:
+        return NeighborTable(
+            idx=local.tbl_idx[0], weight=local.tbl_w[0],
+            in_degrees=local.in_degrees[0],
+            num_nodes=n_padded_global,
+            num_recipients=shards.shard_num_recipients,
+            num_edges=local.src.shape[1])
     ef = None if local.edge_feat is None else local.edge_feat[0]
     return Graph(src=local.src[0], dst=local.dst[0], weight=local.weight[0],
                  row_ptr=local.row_ptr[0], in_degrees=local.in_degrees[0],
                  edge_feat=ef,
                  src_order=local.src_order[0],
                  src_sorted=local.src_sorted[0],
-                 num_nodes=shards.num_shards * shards.shard_num_recipients,
+                 num_nodes=n_padded_global,
                  num_recipients=shards.shard_num_recipients,
                  num_edges=local.src.shape[1])
 

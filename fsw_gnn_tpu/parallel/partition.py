@@ -45,6 +45,11 @@ class GraphShards:
     src_order: jax.Array = None    # (P, E_shard) sender-sorting permutation
     src_sorted: jax.Array = None   # (P, E_shard) src[src_order]
     edge_feat: Optional[jax.Array] = None   # (P, E_shard, d_edge)
+    # optional bucketed layout (layout='table'/'auto'): per-shard dense
+    # neighbor tables -- the faster single-chip compute layout, see
+    # graph.NeighborTable
+    tbl_idx: Optional[jax.Array] = None     # (P, R_shard, B) int32
+    tbl_w: Optional[jax.Array] = None       # (P, R_shard, B)
     num_nodes: int = struct.field(pytree_node=False, default=0)
     num_recipients: int = struct.field(pytree_node=False, default=0)
     num_shards: int = struct.field(pytree_node=False, default=1)
@@ -74,7 +79,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def partition_graph(graph: Graph, num_shards: int,
-                    pad_multiple: int = 128) -> GraphShards:
+                    pad_multiple: int = 128,
+                    layout: str = 'auto') -> GraphShards:
     """Split a global CSR `Graph` into `num_shards` recipient-contiguous
     shards balanced by edge count (host-side).
 
@@ -146,6 +152,32 @@ def partition_graph(graph: Graph, num_shards: int,
     o_order = np.argsort(o_src, axis=1, kind='stable').astype(np.int32)
     o_src_sorted = np.take_along_axis(o_src, o_order, axis=1)
 
+    # optional bucketed table layout per shard (edge features stay CSR-only)
+    tbl_idx = tbl_w = None
+    if layout in ('table', 'auto') and ef is None:
+        max_deg = 0
+        for p in range(P):
+            ne = int(o_rp[p, R_shard])
+            deg = np.diff(np.minimum(o_rp[p], ne))
+            if deg.size:
+                max_deg = max(max_deg, int(deg.max()))
+        B = 2
+        while B < max(max_deg, 2):
+            B *= 2
+        ok = (layout == 'table' or
+              (B <= 512 and B * R_shard <= 8 * max(E_shard, 1)))
+        if ok:
+            tbl_idx = np.zeros((P, R_shard, B), np.int32)
+            tbl_w = np.zeros((P, R_shard, B), w.dtype)
+            for p in range(P):
+                ne = int(o_rp[p, R_shard])
+                lo = np.minimum(o_rp[p, :-1], ne)
+                e = np.arange(ne)
+                d_e = o_dst[p, :ne].astype(np.int64)
+                pos_e = e - lo[d_e]
+                tbl_idx[p, d_e, pos_e] = o_src[p, :ne]
+                tbl_w[p, d_e, pos_e] = o_w[p, :ne]
+
     return GraphShards(
         src=jnp.asarray(o_src), dst=jnp.asarray(o_dst),
         weight=jnp.asarray(o_w), row_ptr=jnp.asarray(o_rp),
@@ -153,6 +185,8 @@ def partition_graph(graph: Graph, num_shards: int,
         recip_start=jnp.asarray(starts), recip_count=jnp.asarray(counts),
         src_order=jnp.asarray(o_order), src_sorted=jnp.asarray(o_src_sorted),
         edge_feat=None if o_ef is None else jnp.asarray(o_ef),
+        tbl_idx=None if tbl_idx is None else jnp.asarray(tbl_idx),
+        tbl_w=None if tbl_w is None else jnp.asarray(tbl_w),
         num_nodes=graph.num_nodes, num_recipients=R, num_shards=P,
         shard_num_recipients=R_shard)
 
