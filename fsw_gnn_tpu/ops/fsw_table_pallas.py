@@ -122,8 +122,21 @@ def _fsw_table_kernel(p_ref, wn_ref, pad_ref, freq_ref, out_ref):
     c = c + jnp.where(ps > 0, pad_b, jnp.zeros_like(c))
 
     f = freq_ref[:][None, :, :]                        # (1, 1, TS)
-    sd = 2.0 * ws * jnp.sinc(f * ws) * jnp.cos(
-        jnp.pi * f * (2.0 * c - ws))
+    # explicit mod-1 range reduction before the trig calls: the VPU's
+    # transcendental approximations lose accuracy at large arguments
+    # (measured ~0.1 abs divergence vs XLA without this)
+    u_cos = 0.5 * f * (2.0 * c - ws)
+    u_cos = u_cos - jnp.round(u_cos)
+    cos_t = jnp.cos((2.0 * jnp.pi) * u_cos)
+    x = f * ws
+    u_sin = 0.5 * x
+    u_sin = u_sin - jnp.round(u_sin)
+    sin_t = jnp.sin((2.0 * jnp.pi) * u_sin)
+    sinc_t = jnp.where(x == 0.0, jnp.ones_like(x),
+                       sin_t / (jnp.pi * x + jnp.where(x == 0.0,
+                                                       jnp.ones_like(x),
+                                                       jnp.zeros_like(x))))
+    sd = 2.0 * ws * sinc_t * cos_t
     out_ref[:] = (1.0 + freq_ref[:]) * jnp.sum(ps * sd, axis=1)
 
 
