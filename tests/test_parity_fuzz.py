@@ -131,17 +131,32 @@ def test_fuzz_parity(trial):
         g = from_edge_index(edge_index, n, edge_features=EF,
                             dtype=jnp.float64)
         idx = torch.from_numpy(np.stack([edge_index[1], edge_index[0]]))
-        Wt = torch.sparse_coo_tensor(
-            idx, torch.ones(E, dtype=torch.float64), (n, n)).coalesce()
-        X_edge = None
-        if cfg.d_edge > 0:
-            key = edge_index[1] * n + edge_index[0]
-            order = np.argsort(key, kind='stable')
-            X_edge = torch.sparse_coo_tensor(
-                idx[:, order], torch.from_numpy(EF[order]),
-                (n, n, cfg.d_edge)).coalesce()
-        want = ref(torch.from_numpy(X), Wt, X_edge=X_edge,
-                   graph_mode=True).detach().numpy()
+        if cfg.cartesian_mode:
+            # NOT a gap: the reference's SPARSE path crashes in cartesian
+            # mode (its slice_info is computed before the frequency repmat,
+            # fsw_embedding.py:1031 vs 1097, tripping its own
+            # verify_slice_info assert).  Use its dense branch as oracle.
+            Wd = np.zeros((n, n))
+            Wd[edge_index[1], edge_index[0]] = 1.0
+            Xe_d = None
+            if cfg.d_edge > 0:
+                Xe_d = np.zeros((n, n, cfg.d_edge))
+                Xe_d[edge_index[1], edge_index[0]] = EF
+                Xe_d = torch.from_numpy(Xe_d)
+            want = ref(torch.from_numpy(X), torch.from_numpy(Wd),
+                       X_edge=Xe_d, graph_mode=True).detach().numpy()
+        else:
+            Wt = torch.sparse_coo_tensor(
+                idx, torch.ones(E, dtype=torch.float64), (n, n)).coalesce()
+            X_edge = None
+            if cfg.d_edge > 0:
+                key = edge_index[1] * n + edge_index[0]
+                order = np.argsort(key, kind='stable')
+                X_edge = torch.sparse_coo_tensor(
+                    idx[:, order], torch.from_numpy(EF[order]),
+                    (n, n, cfg.d_edge)).coalesce()
+            want = ref(torch.from_numpy(X), Wt, X_edge=X_edge,
+                       graph_mode=True).detach().numpy()
         got = fsw_embed_graph(jnp.asarray(X), g, jnp.asarray(proj),
                               jnp.asarray(freqs), cfg, bias=bias_j,
                               total_mass_scale=scale)
