@@ -76,9 +76,18 @@ def main():
         print(json.dumps({'case': name, 'ms': round(dt * 1e3, 2),
                           'edges_per_s': round(E_real / dt)}), flush=True)
 
+    from fsw_gnn_tpu import fsw_embed_table
+
+    @jax.jit
+    def xla_table(X):
+        return fsw_embed_table(X, t, proj, freqs, cfg)
+
     a = np.asarray(fused(X))
     b = np.asarray(xla_csr(X))
-    print(json.dumps({'max_abs_diff': float(np.max(np.abs(a - b)))}),
+    c = np.asarray(xla_table(X))
+    print(json.dumps({'fused_vs_csr': float(np.max(np.abs(a - b))),
+                      'fused_vs_xla_table': float(np.max(np.abs(a - c))),
+                      'xla_table_vs_csr': float(np.max(np.abs(c - b)))}),
           flush=True)
 
 

@@ -47,13 +47,18 @@ def _shard_specs(shards: GraphShards) -> GraphShards:
         edge_feat=None if shards.edge_feat is None else P('graph'),
         tbl_idx=None if shards.tbl_idx is None else P('graph'),
         tbl_w=None if shards.tbl_w is None else P('graph'),
+        a2a_send_idx=None if shards.a2a_send_idx is None else P('graph'),
+        a2a_src=None if shards.a2a_src is None else P('graph'),
+        a2a_tbl_idx=None if shards.a2a_tbl_idx is None else P('graph'),
+        a2a_rows=shards.a2a_rows,
         num_nodes=shards.num_nodes,
         num_recipients=shards.num_recipients,
         num_shards=shards.num_shards,
         shard_num_recipients=shards.shard_num_recipients)
 
 
-def _local_graph(shards: GraphShards, local: GraphShards):
+def _local_graph(shards: GraphShards, local: GraphShards,
+                 exchange: str = 'all_gather'):
     """Per-device local Graph inside shard_map (stacked axis is 1 on-device).
 
     Only *static* metadata is read from `shards` -- capturing its (sharded)
@@ -61,24 +66,37 @@ def _local_graph(shards: GraphShards, local: GraphShards):
     inputs rule; all array data comes from `local`, the shard_map argument.
 
     Returns a NeighborTable when the shards carry the bucketed layout (the
-    faster compute layout), else a CSR Graph.
+    faster compute layout), else a CSR Graph.  With exchange='all_to_all'
+    the sender ids index the compact received buffer (P * a2a_rows rows)
+    instead of the padded-global all-gathered matrix.
     """
     from ..graph import Graph, NeighborTable
-    n_padded_global = shards.num_shards * shards.shard_num_recipients
+    a2a = exchange == 'all_to_all'
+    if a2a:
+        assert shards.a2a_src is not None, (
+            'shards built without with_all_to_all=True')
+        n_senders = shards.num_shards * shards.a2a_rows
+    else:
+        n_senders = shards.num_shards * shards.shard_num_recipients
     if local.tbl_idx is not None:
+        idx = local.a2a_tbl_idx[0] if a2a else local.tbl_idx[0]
         return NeighborTable(
-            idx=local.tbl_idx[0], weight=local.tbl_w[0],
+            idx=idx, weight=local.tbl_w[0],
             in_degrees=local.in_degrees[0],
-            num_nodes=n_padded_global,
+            num_nodes=n_senders,
             num_recipients=shards.shard_num_recipients,
             num_edges=local.src.shape[1])
     ef = None if local.edge_feat is None else local.edge_feat[0]
-    return Graph(src=local.src[0], dst=local.dst[0], weight=local.weight[0],
+    src = local.a2a_src[0] if a2a else local.src[0]
+    # src_order/src_sorted are only valid for the padded-global ids; the
+    # CSR fast-backward gather path is disabled under a2a (table layout is
+    # the production path there)
+    return Graph(src=src, dst=local.dst[0], weight=local.weight[0],
                  row_ptr=local.row_ptr[0], in_degrees=local.in_degrees[0],
                  edge_feat=ef,
-                 src_order=local.src_order[0],
-                 src_sorted=local.src_sorted[0],
-                 num_nodes=n_padded_global,
+                 src_order=None if a2a else local.src_order[0],
+                 src_sorted=None if a2a else local.src_sorted[0],
+                 num_nodes=n_senders,
                  num_recipients=shards.shard_num_recipients,
                  num_edges=local.src.shape[1])
 
@@ -94,15 +112,34 @@ def _gather_fn(axis):
     return lambda x: jax.lax.all_gather(x, axis, tiled=True)
 
 
+def _a2a_gather_fn(axis, send_idx_local):
+    """Boundary exchange: send each peer only the rows it references.
+
+    send_idx_local: (P, L) -- MY local rows destined to each peer.  The
+    received buffer's slot q holds the L rows I requested from q, matching
+    the precomputed compact sender ids (partition.with_all_to_all).
+    """
+    def gather(x_local):
+        S = jnp.take(x_local, send_idx_local, axis=0)        # (P, L, d)
+        recv = jax.lax.all_to_all(S, axis, split_axis=0, concat_axis=0,
+                                  tiled=True)
+        return recv.reshape(-1, x_local.shape[-1])           # (P*L, d)
+    return gather
+
+
 def make_distributed_train_step(model, optimizer: optax.GradientTransformation,
                                 shards: GraphShards, mesh: Mesh,
                                 fixed_collections: Optional[dict] = None,
-                                axis: str = 'graph') -> Callable:
+                                axis: str = 'graph',
+                                exchange: str = 'all_gather') -> Callable:
     """Jitted full-graph node-classification train step.
 
     Step signature: (params, opt_state, X_stacked, shards, labels, mask)
       X_stacked -- (P, R_shard, d_in) node features in shard layout,
       labels/mask -- (P, R_shard) per-shard labels and float masks.
+    exchange: 'all_gather' (assemble all senders over ICI) or 'all_to_all'
+    (send each peer only the boundary rows it references -- less traffic
+    when the partition has locality).
     Returns (params, opt_state, loss).
     """
     fixed = dict(fixed_collections or {})
@@ -111,9 +148,13 @@ def make_distributed_train_step(model, optimizer: optax.GradientTransformation,
         # returns this device's share of the global mean loss; the numerator
         # stays local (no psum!) because transpose(psum) is psum -- a psum'd
         # scalar would come back from autodiff carrying an extra factor P
-        g = _local_graph(shards, local_shards)
+        g = _local_graph(shards, local_shards, exchange)
+        if exchange == 'all_to_all':
+            gf = _a2a_gather_fn(axis, local_shards.a2a_send_idx[0])
+        else:
+            gf = _gather_fn(axis)
         logits = model.apply({'params': params, **fixed}, X_local[0], g,
-                             gather_fn=_gather_fn(axis))
+                             gather_fn=gf)
         loss_sum, cnt = masked_softmax_cross_entropy(
             logits, labels[0], mask[0])
         cnt_total = jax.lax.psum(cnt, axis)   # mask: no gradient
@@ -138,7 +179,8 @@ def make_distributed_train_step(model, optimizer: optax.GradientTransformation,
 
 
 def make_distributed_forward(model, shards: GraphShards, mesh: Mesh,
-                             variables=None, axis: str = 'graph') -> Callable:
+                             variables=None, axis: str = 'graph',
+                             exchange: str = 'all_gather') -> Callable:
     """Jitted sharded inference over (P, R_shard, d) node features; returns
     stacked (P, R_shard, out) recipient values.
 
@@ -149,8 +191,12 @@ def make_distributed_forward(model, shards: GraphShards, mesh: Mesh,
     two-arg signature fwd(X_stacked, shards) for convenience.
     """
     def fwd(variables, X, local_shards):
-        g = _local_graph(shards, local_shards)
-        out = model.apply(variables, X[0], g, gather_fn=_gather_fn(axis))
+        g = _local_graph(shards, local_shards, exchange)
+        if exchange == 'all_to_all':
+            gf = _a2a_gather_fn(axis, local_shards.a2a_send_idx[0])
+        else:
+            gf = _gather_fn(axis)
+        out = model.apply(variables, X[0], g, gather_fn=gf)
         return out[None]
 
     spec = _shard_specs(shards)

@@ -50,6 +50,16 @@ class GraphShards:
     # graph.NeighborTable
     tbl_idx: Optional[jax.Array] = None     # (P, R_shard, B) int32
     tbl_w: Optional[jax.Array] = None       # (P, R_shard, B)
+    # optional all-to-all boundary exchange (computed when
+    # with_all_to_all=True): instead of all-gathering every node's features,
+    # each device sends only the rows its peers actually reference.
+    # a2a_send_idx[q, p, :] = local rows of shard q needed by shard p;
+    # a2a_src / a2a_tbl_idx are the edge/table sender ids remapped into the
+    # received compact buffer (P * a2a_rows rows).
+    a2a_send_idx: Optional[jax.Array] = None   # (P, P, L) int32
+    a2a_src: Optional[jax.Array] = None        # (P, E_shard) int32
+    a2a_tbl_idx: Optional[jax.Array] = None    # (P, R_shard, B) int32
+    a2a_rows: int = struct.field(pytree_node=False, default=0)
     num_nodes: int = struct.field(pytree_node=False, default=0)
     num_recipients: int = struct.field(pytree_node=False, default=0)
     num_shards: int = struct.field(pytree_node=False, default=1)
@@ -80,7 +90,8 @@ def _round_up(x: int, m: int) -> int:
 
 def partition_graph(graph: Graph, num_shards: int,
                     pad_multiple: int = 128,
-                    layout: str = 'auto') -> GraphShards:
+                    layout: str = 'auto',
+                    with_all_to_all: bool = True) -> GraphShards:
     """Split a global CSR `Graph` into `num_shards` recipient-contiguous
     shards balanced by edge count (host-side).
 
@@ -178,6 +189,39 @@ def partition_graph(graph: Graph, num_shards: int,
                 tbl_idx[p, d_e, pos_e] = o_src[p, :ne]
                 tbl_w[p, d_e, pos_e] = o_w[p, :ne]
 
+    # all-to-all exchange metadata: which of q's local rows does p need?
+    a2a_send = a2a_src = a2a_tbl = None
+    L = 0
+    if with_all_to_all:
+        need = [[None] * P for _ in range(P)]
+        for p in range(P):
+            ne = int(o_rp[p, R_shard])
+            uniq = np.unique(o_src[p, :ne]) if ne else np.zeros(0, np.int64)
+            owners = uniq // R_shard
+            for q in range(P):
+                rows_q = uniq[owners == q] - q * R_shard
+                need[p][q] = rows_q.astype(np.int64)
+                L = max(L, len(rows_q))
+        L = max(_round_up(max(L, 1), 8), 8)
+        a2a_send = np.zeros((P, P, L), np.int32)
+        # remap padded-global sender id -> compact id q*L + pos
+        remap = {}
+        for p in range(P):
+            m = np.full(P * R_shard, 0, np.int32)
+            for q in range(P):
+                rows_q = need[p][q]
+                a2a_send[q, p, :len(rows_q)] = rows_q
+                m[q * R_shard + rows_q] = (q * L +
+                                           np.arange(len(rows_q), dtype=np.int32))
+            remap[p] = m
+        a2a_src = np.zeros_like(o_src)
+        for p in range(P):
+            a2a_src[p] = remap[p][o_src[p]]
+        if tbl_idx is not None:
+            a2a_tbl = np.zeros_like(tbl_idx)
+            for p in range(P):
+                a2a_tbl[p] = remap[p][tbl_idx[p]]
+
     return GraphShards(
         src=jnp.asarray(o_src), dst=jnp.asarray(o_dst),
         weight=jnp.asarray(o_w), row_ptr=jnp.asarray(o_rp),
@@ -187,6 +231,10 @@ def partition_graph(graph: Graph, num_shards: int,
         edge_feat=None if o_ef is None else jnp.asarray(o_ef),
         tbl_idx=None if tbl_idx is None else jnp.asarray(tbl_idx),
         tbl_w=None if tbl_w is None else jnp.asarray(tbl_w),
+        a2a_send_idx=None if a2a_send is None else jnp.asarray(a2a_send),
+        a2a_src=None if a2a_src is None else jnp.asarray(a2a_src),
+        a2a_tbl_idx=None if a2a_tbl is None else jnp.asarray(a2a_tbl),
+        a2a_rows=int(L),
         num_nodes=graph.num_nodes, num_recipients=R, num_shards=P,
         shard_num_recipients=R_shard)
 

@@ -145,3 +145,65 @@ def test_distributed_grads_match_single_device():
         g_single, g_dist)
     np.testing.assert_allclose(float(loss), float(single_loss(params)),
                                rtol=1e-10)
+
+
+@pytest.mark.parametrize('num_devices', [4, 8])
+def test_all_to_all_exchange_matches_all_gather(num_devices):
+    """The boundary all-to-all exchange must reproduce the all_gather
+    forward exactly (same rows, different transport)."""
+    rng = np.random.default_rng(21)
+    n, d_in, d_out = 72, 5, 4
+    g = from_edge_index(_random_graph(rng, n), n, dtype=jnp.float32)
+    X = rng.standard_normal((n, d_in)).astype(np.float32)
+
+    model = FSWGNN(in_channels=d_in, hidden_dims=(6, d_out),
+                   minimize_slice_coherence=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X), g)
+
+    mesh = make_graph_mesh(num_devices)
+    shards = partition_graph(g, num_devices, with_all_to_all=True)
+    Xs = shard_node_features(X, shards)
+    fwd_ag = make_distributed_forward(model, shards, mesh, variables,
+                                      exchange='all_gather')
+    fwd_a2a = make_distributed_forward(model, shards, mesh, variables,
+                                       exchange='all_to_all')
+    a = unshard_recipient_values(fwd_ag(Xs, shards), shards)
+    b = unshard_recipient_values(fwd_a2a(Xs, shards), shards)
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7)
+
+
+def test_all_to_all_train_step_grads_match():
+    """a2a vs all_gather: identical one-step SGD update."""
+    rng = np.random.default_rng(22)
+    n, d_in, n_classes = 40, 4, 3
+    g = from_edge_index(_random_graph(rng, n), n, dtype=jnp.float64)
+    X = rng.standard_normal((n, d_in))
+    y = rng.integers(0, n_classes, n)
+
+    model = FSWGNN(in_channels=d_in, hidden_dims=(n_classes,),
+                   minimize_slice_coherence=False, dtype=jnp.float64)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X), g)
+    params = variables['params']
+    fixed = {k: v for k, v in variables.items() if k != 'params'}
+
+    Pn = 4
+    mesh = make_graph_mesh(Pn)
+    shards = partition_graph(g, Pn)
+    Xs = shard_node_features(np.asarray(X), shards)
+    labels, mask = shard_recipient_labels(y, np.ones(n), shards)
+
+    opt = optax.sgd(1.0)
+    outs = {}
+    for exch in ['all_gather', 'all_to_all']:
+        step = make_distributed_train_step(model, opt, shards, mesh,
+                                           fixed_collections=fixed,
+                                           exchange=exch)
+        p_new, _, loss = step(params, opt.init(params), Xs, shards, labels,
+                              jnp.asarray(mask, jnp.float64))
+        outs[exch] = (p_new, float(loss))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-10, atol=1e-12),
+        outs['all_gather'][0], outs['all_to_all'][0])
+    np.testing.assert_allclose(outs['all_gather'][1], outs['all_to_all'][1],
+                               rtol=1e-12)
