@@ -21,13 +21,15 @@ writing (R, S) once.
 Scope (round 1): non-cartesian mode, no edge features; f32.  The XLA paths
 remain the general fallback.
 
-STATUS: EXPERIMENTAL.  Correct under the Pallas interpreter (tests); on
-v5e hardware it compiles (after working around Mosaic's no-flip /
-no-bool-select-on-rank-3 / VMEM-stack limits) but currently returns values
-diverging from the XLA path by ~0.1 abs (benchmarks/bench_fused_table.py)
-and is only ~1.1x the XLA forward -- the rank-3 roll-based bitonic does not
-hit the expected VMEM speed.  Do not wire into the default path until the
-hardware mismatch is root-caused (suspect: sublane rolls on rank-3 tiles).
+STATUS: EXPERIMENTAL but CORRECT on hardware (v5e): agrees with the XLA
+table path to 5e-5 (benchmarks/bench_fused_table.py; the earlier apparent
+~0.1 divergence was the CSR fallback path's own f32 cumsum-minus-base error
+at scale, not this kernel).  Not wired into the default path because it is
+currently ~2-3x SLOWER than the XLA table path (the rank-3 roll-based
+bitonic does not reach VMEM speed; Mosaic workarounds used: no flips, no
+bool-valued selects, tile_r=16 for the 16MB VMEM stack limit, explicit trig
+range reduction).  Next step if revisited: 2-D (B on sublane, S on lane)
+tiles with per-recipient grid, or await Mosaic gather support.
 """
 from __future__ import annotations
 
