@@ -19,12 +19,18 @@ def main():
     proj = jnp.asarray(rng.standard_normal((cfg.nSlices, 64)), jnp.float32)
     freqs = jnp.abs(jnp.asarray(rng.standard_normal(cfg.nFreqs), jnp.float32)) + 0.1
     E_real = g.num_edges
+    from fsw_gnn_tpu import fsw_embed_multi_table, to_multi_table
+    mt = to_multi_table(g)
+    print(json.dumps({'multi_classes': [int(tb.bucket_size)
+                                        for tb in mt.tables],
+                      'rows': [int(tb.num_recipients) for tb in mt.tables]}),
+          flush=True)
     cases = {
-        'csr_fwd_bwd': lambda X, p: jax.grad(lambda x, pp: fsw_embed_graph(
-            x, g, pp, freqs, cfg).sum(), argnums=(0, 1))(X, p),
         'table_fwd_bwd': lambda X, p: jax.grad(lambda x, pp: fsw_embed_table(
             x, t, pp, freqs, cfg).sum(), argnums=(0, 1))(X, p),
-        'table_fwd': lambda X, p: fsw_embed_table(X, t, p, freqs, cfg),
+        'multi_table_fwd_bwd': lambda X, p: jax.grad(
+            lambda x, pp: fsw_embed_multi_table(
+                x, mt, pp, freqs, cfg).sum(), argnums=(0, 1))(X, p),
     }
     for name, fn in cases.items():
         f = jax.jit(fn)
@@ -38,3 +44,5 @@ def main():
 
 if __name__ == '__main__':
     main()
+
+# appended: multi-table variant (run via FSW_BENCH_MULTI=1)

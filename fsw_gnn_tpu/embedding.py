@@ -387,11 +387,14 @@ def fsw_embed_table(X: jax.Array,
                     cfg: FSWConfig,
                     bias: Optional[jax.Array] = None,
                     total_mass_scale: Optional[jax.Array] = None,
-                    slice_chunk: Optional[int] = None) -> jax.Array:
+                    slice_chunk: Optional[int] = None,
+                    return_raw: bool = False) -> jax.Array:
     """Embed neighborhoods given as a dense `NeighborTable`.
 
     X: (num_nodes, d_in).  Returns (num_recipients, d_out) (or
     (R, nSlices, nFreqs) in non-collapsed cartesian mode).
+    With return_raw=True, returns (emb_before_finalize, w_sum) -- used by
+    the degree-bucketed MultiTable assembler.
     """
     w = table.weight                                               # (R, B)
     dt = X.dtype
@@ -449,7 +452,36 @@ def fsw_embed_table(X: jax.Array,
         emb = jnp.moveaxis(emb, 0, 1)                              # (R, nc, chunk, ...)
         emb = emb.reshape((emb.shape[0], S_pad) + emb.shape[3:])[:, :S]
 
+    if return_raw:
+        return emb.astype(dt), w_sum
     return _finalize(emb.astype(dt), w_sum, cfg, bias, total_mass_scale)
+
+
+def fsw_embed_multi_table(X: jax.Array,
+                          mt,
+                          projVecs: jax.Array,
+                          freqs: jax.Array,
+                          cfg: FSWConfig,
+                          bias: Optional[jax.Array] = None,
+                          total_mass_scale: Optional[jax.Array] = None,
+                          slice_chunk: Optional[int] = None) -> jax.Array:
+    """Embed a degree-bucketed `MultiTable`: each degree class runs the
+    width-B_c table pipeline, outputs scatter back into recipient order
+    (row-oriented scatter, fast on TPU), then finalize once."""
+    dt = X.dtype
+    R = mt.num_recipients
+    tail = ((cfg.nSlices, cfg.nFreqs) if cfg.cartesian_mode
+            else (cfg.nSlices,))
+    emb = jnp.zeros((R + 1,) + tail, dt)
+    w_sum = jnp.zeros((R + 1,), dt)
+    for tbl, ids in zip(mt.tables, mt.row_ids):
+        raw, ws = fsw_embed_table(X, tbl, projVecs, freqs, cfg,
+                                  slice_chunk=slice_chunk, return_raw=True)
+        emb = emb.at[ids].set(raw.astype(dt))
+        w_sum = w_sum.at[ids].set(ws.astype(dt))
+    emb = emb[:R]
+    w_sum = w_sum[:R]
+    return _finalize(emb, w_sum, cfg, bias, total_mass_scale)
 
 
 # ---------------------------------------------------------------------------

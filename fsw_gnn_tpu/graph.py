@@ -243,6 +243,93 @@ def to_neighbor_table(graph: Graph, bucket_size: Optional[int] = None,
         num_nodes=graph.num_nodes, num_recipients=R, num_edges=E_real)
 
 
+@struct.dataclass
+class MultiTable:
+    """Degree-bucketed collection of NeighborTables.
+
+    Recipients are grouped by degree class (bucket sizes 8, 16, 32, ...):
+    a row with degree d lands in the smallest class with B >= d, so most
+    neighborhoods pay a log^2(B_small) bitonic instead of log^2(max_degree).
+    `row_ids[c]` maps class-c table rows back to global recipient ids
+    (padded rows point at the sentinel `num_recipients`, dropped at
+    scatter).
+    """
+    tables: tuple
+    row_ids: tuple
+    in_degrees: jax.Array
+    num_nodes: int = struct.field(pytree_node=False, default=0)
+    num_recipients: int = struct.field(pytree_node=False, default=0)
+    num_edges: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def d_edge(self) -> int:
+        return self.tables[0].d_edge if self.tables else 0
+
+
+def to_multi_table(graph: Graph, min_bucket: int = 8,
+                   row_pad_multiple: int = 8) -> MultiTable:
+    """Convert a CSR `Graph` into a degree-bucketed `MultiTable`
+    (host-side)."""
+    row_ptr = np.asarray(graph.row_ptr, np.int64)
+    src = np.asarray(graph.src)
+    w = np.asarray(graph.weight)
+    ef = None if graph.edge_feat is None else np.asarray(graph.edge_feat)
+    R = graph.num_recipients
+    E_real = graph.num_edges
+    lo = np.minimum(row_ptr[:-1], E_real)
+    hi = np.minimum(row_ptr[1:], E_real)
+    deg = hi - lo
+
+    B = max(min_bucket, 8)
+    classes = []
+    while True:
+        classes.append(B)
+        if B >= max(int(deg.max()) if R else 1, 1):
+            break
+        B *= 2
+
+    cls_of = np.zeros(R, np.int64)
+    for ci, Bc in enumerate(classes):
+        lo_deg = 0 if ci == 0 else classes[ci - 1]
+        cls_of[(deg > lo_deg) & (deg <= Bc)] = ci
+    cls_of[deg == 0] = 0
+
+    # vectorized per-edge scatter into each class table
+    dst_e = np.asarray(graph.dst)[:E_real].astype(np.int64)
+    pos_e = np.arange(E_real) - lo[dst_e]
+    tables, row_ids = [], []
+    for ci, Bc in enumerate(classes):
+        rows = np.nonzero(cls_of == ci)[0]
+        Rc = max(_round_up(max(len(rows), 1), row_pad_multiple),
+                 row_pad_multiple)
+        idx = np.zeros((Rc, Bc), np.int32)
+        wt = np.zeros((Rc, Bc), w.dtype)
+        eft = (np.zeros((Rc, Bc, ef.shape[-1]), ef.dtype)
+               if ef is not None else None)
+        ids = np.full(Rc, R, np.int64)  # sentinel for padding rows
+        ids[:len(rows)] = rows
+        rank = np.full(R, -1, np.int64)
+        rank[rows] = np.arange(len(rows))
+        sel = cls_of[dst_e] == ci
+        lr = rank[dst_e[sel]]
+        idx[lr, pos_e[sel]] = src[:E_real][sel]
+        wt[lr, pos_e[sel]] = w[:E_real][sel]
+        if eft is not None:
+            eft[lr, pos_e[sel]] = ef[:E_real][sel]
+        tables.append(NeighborTable(
+            idx=jnp.asarray(idx), weight=jnp.asarray(wt),
+            in_degrees=jnp.asarray(np.zeros(Rc, w.dtype)),
+            edge_feat=None if eft is None else jnp.asarray(eft),
+            num_nodes=graph.num_nodes, num_recipients=Rc,
+            num_edges=int(deg[rows].sum())))
+        row_ids.append(jnp.asarray(ids, jnp.int32))
+
+    return MultiTable(tables=tuple(tables), row_ids=tuple(row_ids),
+                      in_degrees=graph.in_degrees,
+                      num_nodes=graph.num_nodes, num_recipients=R,
+                      num_edges=E_real)
+
+
 def auto_layout(graph: Graph, max_bucket: int = 512,
                 max_expansion: float = 8.0):
     """Choose the faster layout for this graph (host-side heuristic).

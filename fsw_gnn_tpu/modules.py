@@ -16,8 +16,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .embedding import (FSWConfig, fsw_embed_graph, fsw_embed_graph_dense,
-                        fsw_embed_multiset, fsw_embed_table)
-from .graph import NeighborTable
+                        fsw_embed_multi_table, fsw_embed_multiset,
+                        fsw_embed_table)
+from .graph import MultiTable, NeighborTable
 from .params import bias_shape, generate_freqs, generate_proj_vecs
 
 
@@ -98,6 +99,11 @@ class FSWEmbedding(nn.Module):
                 cfg.learnable_total_mass_encoding_scale)
 
         if graph is not None:
+            if isinstance(graph, MultiTable):
+                return fsw_embed_multi_table(X, graph, proj, freqs, cfg,
+                                             bias=bias,
+                                             total_mass_scale=tm_scale,
+                                             slice_chunk=slice_chunk)
             if isinstance(graph, NeighborTable):
                 return fsw_embed_table(X, graph, proj, freqs, cfg, bias=bias,
                                        total_mass_scale=tm_scale,

@@ -107,3 +107,48 @@ def test_conv_with_table():
     out_g = conv.apply(variables, X, g)
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_g),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_multi_table_matches_csr():
+    from fsw_gnn_tpu import fsw_embed_multi_table, to_multi_table
+    rng = np.random.default_rng(30)
+    n, d_in = 60, 5
+    # heavy-tailed degrees: some hub nodes
+    A = rng.random((n, n)) < 0.1
+    A[:, :3] |= rng.random((n, 3)) < 0.8   # hubs
+    np.fill_diagonal(A, False)
+    src, dst = np.nonzero(A)
+    g = from_edge_index(np.stack([src, dst]), n, dtype=jnp.float64)
+    mt = to_multi_table(g)
+    assert len(mt.tables) >= 2  # multiple degree classes exercised
+
+    cfg = FSWConfig(d_in=d_in, d_out=9, enable_bias=False,
+                    encode_total_mass=True)
+    proj, freqs = _params(rng, cfg)
+    X = jnp.asarray(rng.standard_normal((n, d_in)))
+    a = fsw_embed_graph(X, g, proj, freqs, cfg,
+                        total_mass_scale=jnp.asarray(1.0))
+    b = fsw_embed_multi_table(X, mt, proj, freqs, cfg,
+                              total_mass_scale=jnp.asarray(1.0))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_multi_table_gradients():
+    from fsw_gnn_tpu import fsw_embed_multi_table, to_multi_table
+    rng = np.random.default_rng(31)
+    n, d_in = 30, 4
+    g = from_edge_index(_random_graph(rng, n, p=0.25), n, dtype=jnp.float64)
+    mt = to_multi_table(g)
+    cfg = FSWConfig(d_in=d_in, d_out=6, enable_bias=False)
+    proj, freqs = _params(rng, cfg)
+    X = jnp.asarray(rng.standard_normal((n, d_in)))
+    Rv = jnp.asarray(rng.standard_normal((n, 6)))
+    ga = jax.grad(lambda X_, p_: jnp.sum(
+        fsw_embed_graph(X_, g, p_, freqs, cfg) * Rv), argnums=(0, 1))(X, proj)
+    gb = jax.grad(lambda X_, p_: jnp.sum(
+        fsw_embed_multi_table(X_, mt, p_, freqs, cfg) * Rv),
+        argnums=(0, 1))(X, proj)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-9, atol=1e-11)
