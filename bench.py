@@ -47,12 +47,15 @@ def main():
     edge_index = np.stack([src[keep], dst[keep]])
     g = from_edge_index(edge_index, N_NODES, dtype=jnp.float32)
     E_real = g.num_edges
-    # 'table' (bucketed) measured 2.3x faster than 'csr' on v5e once the
-    # sort-based-unsort VJPs landed: log^2(B) bitonic passes beat log^2(E)
-    layout = os.environ.get('FSW_BENCH_LAYOUT', 'table')
+    # measured on v5e: 'table' 2.3x over 'csr' (log^2(B) bitonic passes beat
+    # log^2(E)); 'multi' (degree-bucketed) another ~1.8x on top
+    layout = os.environ.get('FSW_BENCH_LAYOUT', 'multi')
     if layout == 'table':
         from fsw_gnn_tpu import to_neighbor_table
         g = to_neighbor_table(g)
+    elif layout == 'multi':
+        from fsw_gnn_tpu import to_multi_table
+        g = to_multi_table(g)
 
     X = jnp.asarray(rng.standard_normal((N_NODES, D_IN)), jnp.float32)
 

@@ -330,28 +330,29 @@ def to_multi_table(graph: Graph, min_bucket: int = 8,
                       num_edges=E_real)
 
 
-def auto_layout(graph: Graph, max_bucket: int = 512,
-                max_expansion: float = 8.0):
-    """Choose the faster layout for this graph (host-side heuristic).
+def auto_layout(graph: Graph, max_bucket: int = 4096):
+    """Choose the fastest layout for this graph (host-side heuristic).
 
-    Measured on v5e (round 1, with the sort-based-unsort VJPs): the bucketed
-    NeighborTable is ~2.3x faster than CSR at avg degree 16 / B=64, because
-    the per-bucket bitonic sort costs log^2(B) passes instead of log^2(E).
-    It loses when padding explodes (power-law degrees): fall back to CSR
-    when the padded table exceeds `max_expansion` x the edge count or the
-    bucket exceeds `max_bucket`.
+    Measured on v5e (round 1, with the sort-based-unsort VJPs):
+      * bucketed NeighborTable ~2.3x faster than CSR (log^2(B) bitonic
+        passes instead of log^2(E));
+      * degree-bucketed MultiTable another ~1.8x on top (most rows sort at
+        their own degree class's width).
+    Degree classes bound padding to <2x per row, so MultiTable is the
+    default; CSR remains for pathological max degrees (> max_bucket) and as
+    the distributed-partitioning source layout.
     """
     row_ptr = np.asarray(graph.row_ptr)
     E_real = max(graph.num_edges, 1)
     lo = np.minimum(row_ptr[:-1], E_real)
     hi = np.minimum(row_ptr[1:], E_real)
     max_deg = int((hi - lo).max()) if graph.num_recipients > 0 else 0
-    B = 2
-    while B < max(max_deg, 2):
-        B *= 2
-    if B > max_bucket or B * graph.num_recipients > max_expansion * E_real:
+    if max_deg > max_bucket:
         return graph
-    return to_neighbor_table(graph, bucket_size=B)
+    mt = to_multi_table(graph)
+    if len(mt.tables) == 1:
+        return to_neighbor_table(graph)
+    return mt
 
 
 def readout_graph(graph_index, num_vertices: int,
