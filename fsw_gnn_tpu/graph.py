@@ -267,9 +267,14 @@ class MultiTable:
 
 
 def to_multi_table(graph: Graph, min_bucket: int = 8,
-                   row_pad_multiple: int = 8) -> MultiTable:
+                   row_pad_multiple: int = 8,
+                   classes=None, class_rows=None) -> MultiTable:
     """Convert a CSR `Graph` into a degree-bucketed `MultiTable`
-    (host-side)."""
+    (host-side).
+
+    `classes` / `class_rows` force the class structure and per-class padded
+    row counts (used by the distributed partitioner so every shard's tables
+    stack into identical shapes)."""
     row_ptr = np.asarray(graph.row_ptr, np.int64)
     src = np.asarray(graph.src)
     w = np.asarray(graph.weight)
@@ -280,13 +285,17 @@ def to_multi_table(graph: Graph, min_bucket: int = 8,
     hi = np.minimum(row_ptr[1:], E_real)
     deg = hi - lo
 
-    B = max(min_bucket, 8)
-    classes = []
-    while True:
-        classes.append(B)
-        if B >= max(int(deg.max()) if R else 1, 1):
-            break
-        B *= 2
+    if classes is None:
+        B = max(min_bucket, 8)
+        classes = []
+        while True:
+            classes.append(B)
+            if B >= max(int(deg.max()) if R else 1, 1):
+                break
+            B *= 2
+    else:
+        classes = list(classes)
+        assert (int(deg.max()) if R else 0) <= classes[-1]
 
     cls_of = np.zeros(R, np.int64)
     for ci, Bc in enumerate(classes):
@@ -300,8 +309,12 @@ def to_multi_table(graph: Graph, min_bucket: int = 8,
     tables, row_ids = [], []
     for ci, Bc in enumerate(classes):
         rows = np.nonzero(cls_of == ci)[0]
-        Rc = max(_round_up(max(len(rows), 1), row_pad_multiple),
-                 row_pad_multiple)
+        if class_rows is not None:
+            Rc = int(class_rows[ci])
+            assert Rc >= len(rows)
+        else:
+            Rc = max(_round_up(max(len(rows), 1), row_pad_multiple),
+                     row_pad_multiple)
         idx = np.zeros((Rc, Bc), np.int32)
         wt = np.zeros((Rc, Bc), w.dtype)
         eft = (np.zeros((Rc, Bc, ef.shape[-1]), ef.dtype)

@@ -51,6 +51,14 @@ def _shard_specs(shards: GraphShards) -> GraphShards:
         a2a_src=None if shards.a2a_src is None else P('graph'),
         a2a_tbl_idx=None if shards.a2a_tbl_idx is None else P('graph'),
         a2a_rows=shards.a2a_rows,
+        mtbl_idx=None if shards.mtbl_idx is None else
+        tuple(P('graph') for _ in shards.mtbl_idx),
+        mtbl_w=None if shards.mtbl_w is None else
+        tuple(P('graph') for _ in shards.mtbl_w),
+        mtbl_rows=None if shards.mtbl_rows is None else
+        tuple(P('graph') for _ in shards.mtbl_rows),
+        a2a_mtbl_idx=None if shards.a2a_mtbl_idx is None else
+        tuple(P('graph') for _ in shards.a2a_mtbl_idx),
         num_nodes=shards.num_nodes,
         num_recipients=shards.num_recipients,
         num_shards=shards.num_shards,
@@ -70,7 +78,7 @@ def _local_graph(shards: GraphShards, local: GraphShards,
     the sender ids index the compact received buffer (P * a2a_rows rows)
     instead of the padded-global all-gathered matrix.
     """
-    from ..graph import Graph, NeighborTable
+    from ..graph import Graph, MultiTable, NeighborTable
     a2a = exchange == 'all_to_all'
     if a2a:
         assert shards.a2a_src is not None, (
@@ -78,6 +86,23 @@ def _local_graph(shards: GraphShards, local: GraphShards,
         n_senders = shards.num_shards * shards.a2a_rows
     else:
         n_senders = shards.num_shards * shards.shard_num_recipients
+    if local.mtbl_idx is not None:
+        idx_stacks = local.a2a_mtbl_idx if a2a else local.mtbl_idx
+        tables = tuple(
+            NeighborTable(
+                idx=idx_c[0], weight=w_c[0],
+                in_degrees=jnp.sum(w_c[0], axis=1),
+                num_nodes=n_senders,
+                num_recipients=idx_c.shape[1],
+                num_edges=idx_c.shape[1] * idx_c.shape[2])
+            for idx_c, w_c in zip(idx_stacks, local.mtbl_w))
+        return MultiTable(
+            tables=tables,
+            row_ids=tuple(r[0] for r in local.mtbl_rows),
+            in_degrees=local.in_degrees[0],
+            num_nodes=n_senders,
+            num_recipients=shards.shard_num_recipients,
+            num_edges=local.src.shape[1])
     if local.tbl_idx is not None:
         idx = local.a2a_tbl_idx[0] if a2a else local.tbl_idx[0]
         return NeighborTable(

@@ -60,6 +60,12 @@ class GraphShards:
     a2a_src: Optional[jax.Array] = None        # (P, E_shard) int32
     a2a_tbl_idx: Optional[jax.Array] = None    # (P, R_shard, B) int32
     a2a_rows: int = struct.field(pytree_node=False, default=0)
+    # degree-bucketed per-shard MultiTables (preferred compute layout):
+    # tuples over degree classes of (P, R_c, B_c) stacks + row-id maps
+    mtbl_idx: Optional[tuple] = None
+    mtbl_w: Optional[tuple] = None
+    mtbl_rows: Optional[tuple] = None          # (P, R_c) local recipient ids
+    a2a_mtbl_idx: Optional[tuple] = None
     num_nodes: int = struct.field(pytree_node=False, default=0)
     num_recipients: int = struct.field(pytree_node=False, default=0)
     num_shards: int = struct.field(pytree_node=False, default=1)
@@ -163,9 +169,10 @@ def partition_graph(graph: Graph, num_shards: int,
     o_order = np.argsort(o_src, axis=1, kind='stable').astype(np.int32)
     o_src_sorted = np.take_along_axis(o_src, o_order, axis=1)
 
-    # optional bucketed table layout per shard (edge features stay CSR-only)
+    # optional single-bucket table layout per shard (edge features stay
+    # CSR-only; 'auto' prefers the degree-bucketed MultiTable below)
     tbl_idx = tbl_w = None
-    if layout in ('table', 'auto') and ef is None:
+    if layout == 'table' and ef is None:
         max_deg = 0
         for p in range(P):
             ne = int(o_rp[p, R_shard])
@@ -189,8 +196,59 @@ def partition_graph(graph: Graph, num_shards: int,
                 tbl_idx[p, d_e, pos_e] = o_src[p, :ne]
                 tbl_w[p, d_e, pos_e] = o_w[p, :ne]
 
+    # degree-bucketed per-shard MultiTables with a GLOBAL class structure so
+    # the per-class stacks share shapes across shards
+    mtbl_idx = mtbl_w = mtbl_rows = None
+    if layout in ('auto', 'multi') and ef is None:
+        from ..graph import to_multi_table as _tmt
+        local_graphs = []
+        for p in range(P):
+            ne = int(o_rp[p, R_shard])
+            local_graphs.append(Graph(
+                src=o_src[p], dst=o_dst[p], weight=o_w[p],
+                row_ptr=o_rp[p], in_degrees=o_deg[p],
+                num_nodes=P * R_shard, num_recipients=R_shard,
+                num_edges=ne))
+        # global classes from the max degree over all shards
+        gmax = 1
+        for p in range(P):
+            ne = int(o_rp[p, R_shard])
+            d = np.diff(np.minimum(o_rp[p], ne))
+            if d.size:
+                gmax = max(gmax, int(d.max()))
+        classes = [8]
+        while classes[-1] < gmax:
+            classes.append(classes[-1] * 2)
+        # per-class max row count over shards
+        cls_counts = np.zeros((P, len(classes)), np.int64)
+        for p in range(P):
+            ne = int(o_rp[p, R_shard])
+            d = np.diff(np.minimum(o_rp[p], ne))
+            for ci, Bc in enumerate(classes):
+                lo_deg = 0 if ci == 0 else classes[ci - 1]
+                cnt = int(np.sum((d > lo_deg) & (d <= Bc)))
+                if ci == 0:
+                    cnt += int(np.sum(d == 0))
+                cls_counts[p, ci] = cnt
+        class_rows = [max(_round_up(int(cls_counts[:, ci].max()), 8), 8)
+                      for ci in range(len(classes))]
+        mts = [_tmt(lg, classes=classes, class_rows=class_rows)
+               for lg in local_graphs]
+        mtbl_idx = tuple(
+            jnp.asarray(np.stack([np.asarray(mt.tables[ci].idx)
+                                  for mt in mts]))
+            for ci in range(len(classes)))
+        mtbl_w = tuple(
+            jnp.asarray(np.stack([np.asarray(mt.tables[ci].weight)
+                                  for mt in mts]))
+            for ci in range(len(classes)))
+        mtbl_rows = tuple(
+            jnp.asarray(np.stack([np.asarray(mt.row_ids[ci])
+                                  for mt in mts]))
+            for ci in range(len(classes)))
+
     # all-to-all exchange metadata: which of q's local rows does p need?
-    a2a_send = a2a_src = a2a_tbl = None
+    a2a_send = a2a_src = a2a_tbl = a2a_mtbl = None
     L = 0
     if with_all_to_all:
         need = [[None] * P for _ in range(P)]
@@ -221,6 +279,11 @@ def partition_graph(graph: Graph, num_shards: int,
             a2a_tbl = np.zeros_like(tbl_idx)
             for p in range(P):
                 a2a_tbl[p] = remap[p][tbl_idx[p]]
+        if mtbl_idx is not None:
+            a2a_mtbl = tuple(
+                jnp.asarray(np.stack([remap[p][np.asarray(cls_stack[p])]
+                                      for p in range(P)]))
+                for cls_stack in mtbl_idx)
 
     return GraphShards(
         src=jnp.asarray(o_src), dst=jnp.asarray(o_dst),
@@ -235,6 +298,8 @@ def partition_graph(graph: Graph, num_shards: int,
         a2a_src=None if a2a_src is None else jnp.asarray(a2a_src),
         a2a_tbl_idx=None if a2a_tbl is None else jnp.asarray(a2a_tbl),
         a2a_rows=int(L),
+        mtbl_idx=mtbl_idx, mtbl_w=mtbl_w, mtbl_rows=mtbl_rows,
+        a2a_mtbl_idx=a2a_mtbl,
         num_nodes=graph.num_nodes, num_recipients=R, num_shards=P,
         shard_num_recipients=R_shard)
 

@@ -152,3 +152,49 @@ def test_multi_table_gradients():
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-9, atol=1e-11)
+
+
+def test_multi_table_edge_features():
+    from fsw_gnn_tpu import fsw_embed_multi_table, to_multi_table
+    rng = np.random.default_rng(32)
+    n, d_in, d_edge = 40, 4, 2
+    A = rng.random((n, n)) < 0.15
+    A[:, :2] |= rng.random((n, 2)) < 0.7
+    np.fill_diagonal(A, False)
+    src, dst = np.nonzero(A)
+    ei = np.stack([src, dst])
+    EF = rng.standard_normal((ei.shape[1], d_edge))
+    g = from_edge_index(ei, n, edge_features=EF, dtype=jnp.float64)
+    mt = to_multi_table(g)
+    cfg = FSWConfig(d_in=d_in, d_out=7, d_edge=d_edge, enable_bias=False)
+    proj, freqs = _params(rng, cfg)
+    X = jnp.asarray(rng.standard_normal((n, d_in)))
+    a = fsw_embed_graph(X, g, proj, freqs, cfg)
+    b = fsw_embed_multi_table(X, mt, proj, freqs, cfg)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_bfloat16_end_to_end():
+    """bf16 compute path: finite outputs, finite grads, reasonable agreement
+    with f32 (MXU-friendly deployment mode)."""
+    rng = np.random.default_rng(33)
+    n, d_in, d_out = 32, 6, 4
+    g = from_edge_index(_random_graph(rng, n), n, dtype=jnp.bfloat16)
+    from fsw_gnn_tpu import auto_layout
+    gt = auto_layout(g)
+    X16 = jnp.asarray(rng.standard_normal((n, d_in)), jnp.bfloat16)
+    conv = FSWConv(in_channels=d_in, out_channels=d_out, mlp_layers=2,
+                   minimize_slice_coherence=False, dtype=jnp.bfloat16)
+    variables = conv.init(jax.random.PRNGKey(0), X16, gt)
+    out = conv.apply(variables, X16, gt)
+    assert out.dtype == jnp.bfloat16
+    assert np.all(np.isfinite(np.asarray(out, np.float32)))
+
+    def loss(params):
+        return jnp.sum(conv.apply({**variables, 'params': params},
+                                  X16, gt).astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss)(variables['params'])
+    assert all(np.all(np.isfinite(np.asarray(x, np.float32)))
+               for x in jax.tree_util.tree_leaves(grads))
