@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fsw_gnn_tpu import FSWConv, from_edge_index
+from fsw_gnn_tpu import FSWConv, auto_layout, from_edge_index
 
 num_nodes = 100
 vertex_feature_dim = 50
@@ -32,7 +32,10 @@ node_features = jnp.asarray(
     rng.standard_normal((num_nodes, vertex_feature_dim)), jnp.float32)
 edge_features = rng.standard_normal((num_edges, edge_feature_dim))
 
-graph = from_edge_index(edge_index, num_nodes, edge_features=edge_features)
+# auto_layout picks the fastest device layout for this degree
+# distribution (degree-bucketed neighbor tables here)
+graph = auto_layout(
+    from_edge_index(edge_index, num_nodes, edge_features=edge_features))
 
 conv = FSWConv(in_channels=vertex_feature_dim, out_channels=out_dim,
                edgefeat_dim=edge_feature_dim, mlp_layers=3,
@@ -42,7 +45,7 @@ variables = conv.init(jax.random.PRNGKey(0), node_features, graph)
 out = jax.jit(conv.apply)(variables, node_features, graph)
 
 print(f'graph: {num_nodes} nodes, {num_edges} edges '
-      f'(padded to {graph.padded_num_edges})')
+      f'(layout: {type(graph).__name__})')
 print(f'input features: {node_features.shape}, edge features: '
       f'{edge_features.shape}')
 print(f'output vertex features: {out.shape}  '
