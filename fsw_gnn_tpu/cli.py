@@ -32,6 +32,9 @@ def _add_train_args(p):
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--num-devices', type=int, default=None,
                    help='edge-partition the graph over this many devices')
+    p.add_argument('--exchange', default='all_gather',
+                   choices=['all_gather', 'all_to_all'],
+                   help='boundary feature exchange for distributed runs')
     p.add_argument('--minimize-slice-coherence', action='store_true',
                    help='coherence-minimize projection frames at init '
                         '(reference default; slower init)')
@@ -56,7 +59,8 @@ def cmd_train(args) -> int:
         eval_every=args.eval_every, patience=args.patience,
         minimize_slice_coherence=args.minimize_slice_coherence,
         mlp_layers=args.mlp_layers, dropout=args.dropout, seed=args.seed,
-        num_devices=args.num_devices, checkpoint_dir=args.checkpoint_dir,
+        num_devices=args.num_devices, exchange=args.exchange,
+        checkpoint_dir=args.checkpoint_dir,
         trace_dir=args.trace_dir)
 
     if args.minibatch:

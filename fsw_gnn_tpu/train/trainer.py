@@ -49,6 +49,7 @@ class TrainConfig:
     dropout: float = 0.0
     seed: int = 0
     num_devices: Optional[int] = None       # >1 -> edge-partitioned mesh
+    exchange: str = 'all_gather'            # 'all_gather' | 'all_to_all'
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 50
     trace_dir: Optional[str] = None         # jax.profiler trace output
@@ -103,7 +104,7 @@ class Trainer:
                 data.labels, data.train_mask.astype(np.float32), self.shards)
             self._step = make_distributed_train_step(
                 self.model, self.opt, self.shards, self.mesh,
-                fixed_collections=self.fixed)
+                fixed_collections=self.fixed, exchange=config.exchange)
         else:
             self._step = self._make_single_step()
 
@@ -151,7 +152,8 @@ class Trainer:
         if self.distributed:
             fwd = make_distributed_forward(
                 self.model, self.shards, self.mesh,
-                {'params': self.params, **self.fixed})
+                {'params': self.params, **self.fixed},
+                exchange=self.cfg.exchange)
             stacked = fwd(self.Xs, self.shards)
             return unshard_recipient_values(stacked, self.shards)
         out = self.model.apply({'params': self.params, **self.fixed},
