@@ -53,11 +53,15 @@ def _eval_G(G, p, n):
     return mu, obj
 
 
-def _minimize_p(X_init, p: float, step_size_init):
-    """One p-stage (minimize_mutual_coherence_p, fsw_embedding.py:3071-3228)."""
+def _minimize_p(X_init, p, step_size_init):
+    """One p-stage (minimize_mutual_coherence_p, fsw_embedding.py:3071-3228).
+
+    `p` may be a traced scalar: every use is a jnp.power/abs, so one
+    compiled stage serves the whole p-schedule (the reference compiles --
+    well, interprets -- each stage separately)."""
     n = X_init.shape[0]
     dt = X_init.dtype
-    rho = float(np.power(1.0 / (2.0 * n * (n - 1.0)), 1.0 / p))
+    rho = jnp.power(1.0 / (2.0 * n * (n - 1.0)), 1.0 / p).astype(dt)
 
     G0 = gram_offdiag(X_init)
     mu0, obj0 = _eval_G(G0, p, n)
@@ -167,14 +171,22 @@ def minimize_mutual_coherence(X_init: jax.Array) -> jax.Array:
     """Minimize the mutual coherence of the rows of X_init (unit-normalized).
 
     Jittable; mirrors minimize_mutual_coherence (fsw_embedding.py:3045-3068).
+    The p-schedule runs inside ONE lax.fori_loop (p traced), so the whole
+    optimizer compiles once instead of once per p value.
     """
     n = X_init.shape[0]
     if X_init.size == 0:
         return X_init
     if n == 1:
         return _normalize_rows(X_init)
-    X = _normalize_rows(X_init)
-    step = jnp.asarray(_STEP_INIT, X.dtype)
-    for p in P_SCHEDULE:
-        X, step = _minimize_p(X, float(p), step)
+    X0 = _normalize_rows(X_init)
+    p_vals = jnp.asarray(P_SCHEDULE, X0.dtype)
+
+    def stage(i, carry):
+        X, step = carry
+        return _minimize_p(X, p_vals[i], step)
+
+    X, _ = jax.lax.fori_loop(
+        0, len(P_SCHEDULE), stage,
+        (X0, jnp.asarray(_STEP_INIT, X0.dtype)))
     return X
