@@ -31,6 +31,7 @@ D_OUT = _env_int('FSW_BENCH_DOUT', 64)
 STEPS_PER_CALL = _env_int('FSW_BENCH_STEPS', 20)
 WARMUP_CALLS = _env_int('FSW_BENCH_WARMUP', 1)
 TIMED_CALLS = _env_int('FSW_BENCH_CALLS', 3)
+DTYPE = os.environ.get('FSW_BENCH_DTYPE', 'float32')  # float32 | bfloat16
 
 
 def main():
@@ -45,7 +46,8 @@ def main():
     dst = rng.integers(0, N_NODES, E)
     keep = src != dst
     edge_index = np.stack([src[keep], dst[keep]])
-    g = from_edge_index(edge_index, N_NODES, dtype=jnp.float32)
+    dt = jnp.bfloat16 if DTYPE == 'bfloat16' else jnp.float32
+    g = from_edge_index(edge_index, N_NODES, dtype=dt)
     E_real = g.num_edges
     # measured on v5e: 'table' 2.3x over 'csr' (log^2(B) bitonic passes beat
     # log^2(E)); 'multi' (degree-bucketed) another ~1.8x on top
@@ -57,10 +59,10 @@ def main():
         from fsw_gnn_tpu import to_multi_table
         g = to_multi_table(g)
 
-    X = jnp.asarray(rng.standard_normal((N_NODES, D_IN)), jnp.float32)
+    X = jnp.asarray(rng.standard_normal((N_NODES, D_IN)), dt)
 
     model = FSWConv(in_channels=D_IN, out_channels=D_OUT, mlp_layers=3,
-                    minimize_slice_coherence=False)
+                    minimize_slice_coherence=False, dtype=dt)
     variables = model.init(jax.random.PRNGKey(0), X, g)
     params = variables['params']
     fixed = {k: v for k, v in variables.items() if k != 'params'}
