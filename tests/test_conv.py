@@ -213,3 +213,35 @@ def test_conv_jit_and_coherence_init():
     out = fast(variables, X)
     assert out.shape == (n, d_out)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_optimizer_loop_updates_degree_scale():
+    """Reference test_conv.py:77-85: SGD steps move the learnable vertex-
+    degree encoding scale and its gradient is nonzero."""
+    import optax
+    rng = np.random.default_rng(9)
+    n, d_in, d_out = 20, 5, 4
+    X = jnp.asarray(rng.standard_normal((n, d_in)), jnp.float64)
+    g = from_edge_index(_random_graph(rng, n), n, dtype=jnp.float64)
+    conv = FSWConv(in_channels=d_in, out_channels=d_out, mlp_layers=2,
+                   learnable_vertex_degree_encoding_scale=True,
+                   vertex_degree_encoding_function='log',
+                   minimize_slice_coherence=False, dtype=jnp.float64)
+    variables = conv.init(jax.random.PRNGKey(0), X, g)
+    params = variables['params']
+    fixed = {k: v for k, v in variables.items() if k != 'params'}
+    assert 'total_mass_scale' in params['fsw_embed']
+
+    def loss(p):
+        return jnp.linalg.norm(conv.apply({'params': p, **fixed}, X, g))
+
+    opt = optax.sgd(1e-2)
+    state = opt.init(params)
+    scale0 = float(params['fsw_embed']['total_mass_scale'])
+    for _ in range(10):
+        grads = jax.grad(loss)(params)
+        gscale = float(grads['fsw_embed']['total_mass_scale'])
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    assert gscale != 0.0
+    assert float(params['fsw_embed']['total_mass_scale']) != scale0
