@@ -20,5 +20,6 @@ from .ops.segment import (segment_cumsum, segment_sort, segment_sum,
 from .modules import FSWEmbedding
 from .conv import FSWConv, FSWReadout
 from .models import FSWGNN, FSWGraphClassifier
+from .utils import dsmetric
 
 __version__ = '0.1.0'

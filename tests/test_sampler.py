@@ -88,3 +88,45 @@ def test_load_fallback():
     data = load('cora')
     assert data.num_nodes == 2708
     assert data.num_classes == 7
+
+
+def test_native_csr_builder():
+    """fsw_build_csr (C++) vs the numpy coalescing in from_edge_index."""
+    import ctypes
+    lib = sampler_mod._load_native()
+    if lib is None:
+        pytest.skip('native library not built')
+    rng = np.random.default_rng(7)
+    n, E = 30, 200
+    src = rng.integers(0, n, E).astype(np.int64)
+    dst = rng.integers(0, n, E).astype(np.int64)
+    w = rng.random(E)
+
+    lib.fsw_build_csr.restype = ctypes.c_longlong
+    out_src = np.zeros(E, np.int64)
+    out_dst = np.zeros(E, np.int64)
+    out_w = np.zeros(E, np.float64)
+    row_ptr = np.zeros(n + 1, np.int64)
+    ll = ctypes.POINTER(ctypes.c_longlong)
+    dd = ctypes.POINTER(ctypes.c_double)
+    n_uniq = lib.fsw_build_csr(
+        src.ctypes.data_as(ll), dst.ctypes.data_as(ll),
+        w.ctypes.data_as(dd), E, n, n,
+        out_src.ctypes.data_as(ll), out_dst.ctypes.data_as(ll),
+        out_w.ctypes.data_as(dd), row_ptr.ctypes.data_as(ll))
+
+    # numpy reference coalescing
+    import jax.numpy as jnp
+    from fsw_gnn_tpu import from_edge_index
+    g = from_edge_index(np.stack([src, dst]), n, edge_weight=w,
+                        dtype=jnp.float64)
+    Er = g.num_edges
+    assert n_uniq == Er
+    np.testing.assert_array_equal(out_src[:Er], np.asarray(g.src)[:Er])
+    np.testing.assert_array_equal(out_dst[:Er], np.asarray(g.dst)[:Er])
+    np.testing.assert_allclose(out_w[:Er], np.asarray(g.weight)[:Er],
+                               rtol=1e-12)
+    # from_edge_index's final row_ptr entry counts its zero-weight padding
+    # edges; the native builder reports the unique-edge count
+    np.testing.assert_array_equal(row_ptr[:-1], np.asarray(g.row_ptr)[:-1])
+    assert row_ptr[-1] == Er
