@@ -32,6 +32,8 @@ def _add_train_args(p):
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--num-devices', type=int, default=None,
                    help='edge-partition the graph over this many devices')
+    p.add_argument('--slice-chunk', type=int, default=None,
+                   help='serialize the slice axis in chunks (memory cap)')
     p.add_argument('--exchange', default='all_gather',
                    choices=['all_gather', 'all_to_all'],
                    help='boundary feature exchange for distributed runs')
@@ -60,6 +62,7 @@ def cmd_train(args) -> int:
         minimize_slice_coherence=args.minimize_slice_coherence,
         mlp_layers=args.mlp_layers, dropout=args.dropout, seed=args.seed,
         num_devices=args.num_devices, exchange=args.exchange,
+        slice_chunk=args.slice_chunk,
         checkpoint_dir=args.checkpoint_dir,
         trace_dir=args.trace_dir)
 

@@ -33,6 +33,7 @@ class FSWGNN(nn.Module):
     bias: bool = True
     dropout: float = 0.0
     batchnorm: bool = False
+    slice_chunk: Optional[int] = None   # serialize the slice axis (memory)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -63,6 +64,7 @@ class FSWGNN(nn.Module):
                 dropout_final=0.0 if is_last else self.dropout,
                 dtype=self.dtype,
                 name=f'conv_{i}')(x_full, graph, train=train,
+                                  slice_chunk=self.slice_chunk,
                                   recipient_features=x_local)
             d_in = d_out
         return x_local

@@ -47,6 +47,7 @@ class TrainConfig:
                                             # off by default for init speed
     mlp_layers: int = 1
     dropout: float = 0.0
+    slice_chunk: Optional[int] = None       # serialize slices to cap memory
     seed: int = 0
     num_devices: Optional[int] = None       # >1 -> edge-partitioned mesh
     exchange: str = 'all_gather'            # 'all_gather' | 'all_to_all'
@@ -69,7 +70,8 @@ class Trainer:
             in_channels=data.features.shape[1], hidden_dims=dims,
             embed_dim=config.embed_dim,
             minimize_slice_coherence=config.minimize_slice_coherence,
-            mlp_layers=config.mlp_layers, dropout=config.dropout)
+            mlp_layers=config.mlp_layers, dropout=config.dropout,
+            slice_chunk=config.slice_chunk)
         self.X = jnp.asarray(data.features, jnp.float32)
         variables = self.model.init(jax.random.PRNGKey(config.seed),
                                     self.X, self.graph)
