@@ -62,12 +62,16 @@ def main():
         labels, mask = shard_recipient_labels(y, np.ones(N_NODES), shards)
         step = make_distributed_train_step(model, opt, shards, mesh,
                                            fixed_collections=fixed)
-        p, s = params0, opt.init(params0)
-        p, s, loss = step(p, s, Xs, shards, labels, mask)  # compile
+        # the step donates params/opt_state; params0 is reused
+        # across device counts, so hand in a copy
+        p = jax.tree_util.tree_map(jnp.array, params0)
+        s, b = opt.init(p), {}
+        rng = jax.random.PRNGKey(0)
+        p, s, b, loss = step(p, s, b, Xs, shards, labels, mask, rng)  # compile
         jax.block_until_ready(loss)
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            p, s, loss = step(p, s, Xs, shards, labels, mask)
+            p, s, b, loss = step(p, s, b, Xs, shards, labels, mask, rng)
         jax.block_until_ready(loss)
         dt = (time.perf_counter() - t0) / ITERS
         eps = E_real / dt

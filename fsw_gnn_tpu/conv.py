@@ -48,6 +48,18 @@ def _torch_linear_init(scale_from_fan_in: bool = True):
     return init
 
 
+def _torch_bias_init(fan_in: int):
+    """torch nn.Linear bias init: U(-1/sqrt(in_features), 1/sqrt(in_features)).
+
+    The bound comes from the layer's *fan-in*, not the bias's own length --
+    deriving it from the bias shape would give 1/sqrt(out_features) whenever
+    in_dim != out_dim (init-distribution parity deviation vs torch)."""
+    def init(key, shape, dtype):
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
 _MLP_INITS = {
     None: _torch_linear_init(),
     'xavier_uniform': nn.initializers.xavier_uniform(),
@@ -73,6 +85,8 @@ class _MLPHead(nn.Module):
     dropout_hidden: float
     concat_self: bool
     learnable_dim_reduct: bool
+    bn_axis_name: Optional[str] = None   # sync BatchNorm stats over this
+                                         # mesh axis inside shard_map
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -93,10 +107,12 @@ class _MLPHead(nn.Module):
                 x = x @ dim_reduct.T
             if self.batchnorm_final:
                 x = nn.BatchNorm(use_running_average=not train,
+                                 axis_name=self.bn_axis_name,
                                  dtype=self.dtype, param_dtype=self.dtype,
                                  name='bn_final')(x)
             return x
 
+        in_d = self.in_dim
         for i in range(self.mlp_layers):
             is_final = i == self.mlp_layers - 1
             out_d = self.out_channels if is_final else self.mlp_hidden_dim
@@ -105,10 +121,12 @@ class _MLPHead(nn.Module):
                          param_dtype=self.dtype,
                          bias_init=(nn.initializers.zeros
                                     if self.mlp_init is not None
-                                    else _torch_linear_init()),
+                                    else _torch_bias_init(in_d)),
                          dtype=self.dtype, name=f'dense_{i}')(x)
+            in_d = out_d
             if (self.batchnorm_final if is_final else self.batchnorm_hidden):
                 x = nn.BatchNorm(use_running_average=not train,
+                                 axis_name=self.bn_axis_name,
                                  dtype=self.dtype, param_dtype=self.dtype,
                                  name=f'bn_{i}')(x)
             act = self.activation_final if is_final else self.activation_hidden
@@ -153,6 +171,7 @@ class FSWConv(nn.Module):
     dropout_final: float = 0.0
     dropout_hidden: float = 0.0
     minimize_slice_coherence: bool = True
+    bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -232,6 +251,7 @@ class FSWConv(nn.Module):
             dropout_hidden=self.dropout_hidden,
             concat_self=self.concat_self,
             learnable_dim_reduct=self.learnable_embedding,
+            bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
             name='head')(emb, train=train)
 
@@ -277,5 +297,6 @@ class FSWReadout(FSWConv):
             dropout_hidden=self.dropout_hidden,
             concat_self=self.concat_self,
             learnable_dim_reduct=self.learnable_embedding,
+            bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
             name='head')(emb, train=train)

@@ -33,6 +33,8 @@ class FSWGNN(nn.Module):
     bias: bool = True
     dropout: float = 0.0
     batchnorm: bool = False
+    bn_axis_name: Optional[str] = None  # sync BatchNorm stats across this
+                                        # mesh axis (set under shard_map)
     slice_chunk: Optional[int] = None   # serialize the slice axis (memory)
     dtype: jnp.dtype = jnp.float32
 
@@ -62,6 +64,7 @@ class FSWGNN(nn.Module):
                 mlp_activation_final=None if is_last else leaky_relu_02,
                 batchnorm_final=self.batchnorm and not is_last,
                 dropout_final=0.0 if is_last else self.dropout,
+                bn_axis_name=self.bn_axis_name,
                 dtype=self.dtype,
                 name=f'conv_{i}')(x_full, graph, train=train,
                                   slice_chunk=self.slice_chunk,

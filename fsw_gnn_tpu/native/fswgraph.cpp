@@ -54,6 +54,7 @@ long long fsw_sample_neighbors(const long long* row_ptr,
                                long long* out_src,
                                long long* out_dst) {
     SplitMix64 rng(rng_seed);
+    long long* chosen = new long long[std::max(fanout, 1LL)];
     long long out = 0;
     for (long long i = 0; i < num_seeds; ++i) {
         const long long s = seeds[i];
@@ -66,23 +67,29 @@ long long fsw_sample_neighbors(const long long* row_ptr,
                 ++out;
             }
         } else {
-            // Floyd's algorithm: sample `fanout` distinct offsets in [0, deg)
-            // (deg can be large; fanout is small, so an O(fanout^2) contains()
-            // over the freshly written outputs is cheap and allocation-free)
-            long long base = out;
+            // Floyd's algorithm: sample `fanout` distinct OFFSETS in
+            // [0, deg).  The membership test must compare chosen offsets,
+            // not emitted node ids: with duplicate edges (the CSC is built
+            // uncoalesced) equal col_idx values at different offsets would
+            // make a fresh offset look "seen", biasing the sample and
+            // emitting duplicates -- inconsistent with the numpy fallback,
+            // which samples offsets without replacement.
+            long long n_chosen = 0;
             for (long long j = deg - fanout; j < deg; ++j) {
                 long long t = (long long)rng.bounded((uint64_t)(j + 1));
                 bool seen = false;
-                for (long long k = base; k < out; ++k) {
-                    if (out_src[k] == col_idx[lo + t]) { seen = true; break; }
+                for (long long k = 0; k < n_chosen; ++k) {
+                    if (chosen[k] == t) { seen = true; break; }
                 }
                 long long pick = seen ? j : t;
+                chosen[n_chosen++] = pick;
                 out_src[out] = col_idx[lo + pick];
                 out_dst[out] = s;
                 ++out;
             }
         }
     }
+    delete[] chosen;
     return out;
 }
 

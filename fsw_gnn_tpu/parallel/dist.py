@@ -57,6 +57,8 @@ def _shard_specs(shards: GraphShards) -> GraphShards:
         tuple(P('graph') for _ in shards.mtbl_w),
         mtbl_rows=None if shards.mtbl_rows is None else
         tuple(P('graph') for _ in shards.mtbl_rows),
+        mtbl_ef=None if shards.mtbl_ef is None else
+        tuple(P('graph') for _ in shards.mtbl_ef),
         a2a_mtbl_idx=None if shards.a2a_mtbl_idx is None else
         tuple(P('graph') for _ in shards.a2a_mtbl_idx),
         num_nodes=shards.num_nodes,
@@ -88,14 +90,17 @@ def _local_graph(shards: GraphShards, local: GraphShards,
         n_senders = shards.num_shards * shards.shard_num_recipients
     if local.mtbl_idx is not None:
         idx_stacks = local.a2a_mtbl_idx if a2a else local.mtbl_idx
+        ef_stacks = (local.mtbl_ef if local.mtbl_ef is not None
+                     else (None,) * len(idx_stacks))
         tables = tuple(
             NeighborTable(
                 idx=idx_c[0], weight=w_c[0],
                 in_degrees=jnp.sum(w_c[0], axis=1),
+                edge_feat=None if ef_c is None else ef_c[0],
                 num_nodes=n_senders,
                 num_recipients=idx_c.shape[1],
                 num_edges=idx_c.shape[1] * idx_c.shape[2])
-            for idx_c, w_c in zip(idx_stacks, local.mtbl_w))
+            for idx_c, w_c, ef_c in zip(idx_stacks, local.mtbl_w, ef_stacks))
         return MultiTable(
             tables=tables,
             row_ids=tuple(r[0] for r in local.mtbl_rows),
@@ -159,17 +164,26 @@ def make_distributed_train_step(model, optimizer: optax.GradientTransformation,
                                 exchange: str = 'all_gather') -> Callable:
     """Jitted full-graph node-classification train step.
 
-    Step signature: (params, opt_state, X_stacked, shards, labels, mask)
+    Step signature:
+        (params, opt_state, batch_stats, X_stacked, shards, labels, mask, rng)
       X_stacked -- (P, R_shard, d_in) node features in shard layout,
-      labels/mask -- (P, R_shard) per-shard labels and float masks.
+      labels/mask -- (P, R_shard) per-shard labels and float masks,
+      batch_stats -- BatchNorm running statistics ({} when the model has
+      none); rng -- dropout PRNG key (folded with the device index so each
+      shard draws independent masks).
+    The model runs with train=True, reproducing the reference's training
+    semantics (dropout active, BatchNorm in batch-stats mode,
+    /root/reference/fsw_conv.py:268-310).  params and opt_state buffers are
+    donated.
     exchange: 'all_gather' (assemble all senders over ICI) or 'all_to_all'
     (send each peer only the boundary rows it references -- less traffic
     when the partition has locality).
-    Returns (params, opt_state, loss).
+    Returns (params, opt_state, batch_stats, loss).
     """
     fixed = dict(fixed_collections or {})
+    fixed.pop('batch_stats', None)   # mutable; rides as a step argument
 
-    def local_loss(params, X_local, local_shards, labels, mask):
+    def local_loss(params, bstats, X_local, local_shards, labels, mask, rng):
         # returns this device's share of the global mean loss; the numerator
         # stays local (no psum!) because transpose(psum) is psum -- a psum'd
         # scalar would come back from autodiff carrying an extra factor P
@@ -178,29 +192,38 @@ def make_distributed_train_step(model, optimizer: optax.GradientTransformation,
             gf = _a2a_gather_fn(axis, local_shards.a2a_send_idx[0])
         else:
             gf = _gather_fn(axis)
-        logits = model.apply({'params': params, **fixed}, X_local[0], g,
-                             gather_fn=gf)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        logits, mutated = model.apply(
+            {'params': params, **bstats, **fixed}, X_local[0], g,
+            gather_fn=gf, train=True, rngs={'dropout': rng},
+            mutable=['batch_stats'])
         loss_sum, cnt = masked_softmax_cross_entropy(
             logits, labels[0], mask[0])
         cnt_total = jax.lax.psum(cnt, axis)   # mask: no gradient
-        return loss_sum / jnp.maximum(cnt_total, 1.0)
+        return loss_sum / jnp.maximum(cnt_total, 1.0), mutated
 
-    def step_impl(params, opt_state, X, shards_in, labels, mask):
-        loss_local, grads = jax.value_and_grad(local_loss)(
-            params, X, shards_in, labels, mask)
+    def step_impl(params, opt_state, bstats, X, shards_in, labels, mask, rng):
+        (loss_local, mutated), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, bstats, X, shards_in, labels,
+                                      mask, rng)
         loss = jax.lax.psum(loss_local, axis)
         grads = jax.lax.psum(grads, axis)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        # keep running stats replica-consistent: unless the model's BatchNorm
+        # carries axis_name (cross-shard batch stats), each device updates
+        # from its local rows -- average them
+        mutated = jax.lax.pmean(mutated, axis)
+        return params, opt_state, mutated, loss
 
     spec = _shard_specs(shards)
     smapped = jax.shard_map(
         step_impl, mesh=mesh,
-        in_specs=(P(), P(), P('graph'), spec, P('graph'), P('graph')),
-        out_specs=(P(), P(), P()),
+        in_specs=(P(), P(), P(), P('graph'), spec, P('graph'), P('graph'),
+                  P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False)
-    return jax.jit(smapped)
+    return jax.jit(smapped, donate_argnums=(0, 1))
 
 
 def make_distributed_forward(model, shards: GraphShards, mesh: Mesh,

@@ -76,31 +76,41 @@ def make_dp_train_step(model, optimizer: optax.GradientTransformation,
                        axis: str = 'data') -> Callable:
     """Jitted DP train step over stacked minibatches.
 
-    Step signature: (params, opt_state, graphs_stacked, X, labels, mask) ->
-    (params, opt_state, loss); all leading [D] axes sharded over `axis`.
+    Step signature:
+        (params, opt_state, batch_stats, graphs_stacked, X, labels, mask, rng)
+    -> (params, opt_state, batch_stats, loss); all leading [D] axes sharded
+    over `axis`.  Runs the model with train=True (dropout active, BatchNorm
+    updating); batch_stats is {} when the model has none.  params/opt_state
+    buffers are donated.
     """
     fixed = dict(fixed_collections or {})
+    fixed.pop('batch_stats', None)
 
-    def local_loss(params, local_g, Xb, labels, mask):
+    def local_loss(params, bstats, local_g, Xb, labels, mask, rng):
         g = _local_graph(graph_template, local_g)
-        logits = model.apply({'params': params, **fixed}, Xb[0], g)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        logits, mutated = model.apply(
+            {'params': params, **bstats, **fixed}, Xb[0], g,
+            train=True, rngs={'dropout': rng}, mutable=['batch_stats'])
         s, c = masked_softmax_cross_entropy(logits, labels[0], mask[0])
         c_total = jax.lax.psum(c, axis)
-        return s / jnp.maximum(c_total, 1.0)
+        return s / jnp.maximum(c_total, 1.0), mutated
 
-    def step_impl(params, opt_state, gs, X, labels, mask):
-        loss_local, grads = jax.value_and_grad(local_loss)(
-            params, gs, X, labels, mask)
+    def step_impl(params, opt_state, bstats, gs, X, labels, mask, rng):
+        (loss_local, mutated), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, bstats, gs, X, labels, mask,
+                                      rng)
         loss = jax.lax.psum(loss_local, axis)
         grads = jax.lax.psum(grads, axis)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        mutated = jax.lax.pmean(mutated, axis)
+        return params, opt_state, mutated, loss
 
     spec = _graph_specs(graph_template)
     smapped = jax.shard_map(
         step_impl, mesh=mesh,
-        in_specs=(P(), P(), spec, P(axis), P(axis), P(axis)),
-        out_specs=(P(), P(), P()),
+        in_specs=(P(), P(), P(), spec, P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False)
-    return jax.jit(smapped)
+    return jax.jit(smapped, donate_argnums=(0, 1))

@@ -65,6 +65,7 @@ class GraphShards:
     mtbl_idx: Optional[tuple] = None
     mtbl_w: Optional[tuple] = None
     mtbl_rows: Optional[tuple] = None          # (P, R_c) local recipient ids
+    mtbl_ef: Optional[tuple] = None            # (P, R_c, B_c, d_edge)
     a2a_mtbl_idx: Optional[tuple] = None
     num_nodes: int = struct.field(pytree_node=False, default=0)
     num_recipients: int = struct.field(pytree_node=False, default=0)
@@ -197,9 +198,10 @@ def partition_graph(graph: Graph, num_shards: int,
                 tbl_w[p, d_e, pos_e] = o_w[p, :ne]
 
     # degree-bucketed per-shard MultiTables with a GLOBAL class structure so
-    # the per-class stacks share shapes across shards
-    mtbl_idx = mtbl_w = mtbl_rows = None
-    if layout in ('auto', 'multi') and ef is None:
+    # the per-class stacks share shapes across shards (edge features ride
+    # along as (R_c, B_c, d_edge) table entries)
+    mtbl_idx = mtbl_w = mtbl_rows = mtbl_ef = None
+    if layout in ('auto', 'multi'):
         from ..graph import to_multi_table as _tmt
         local_graphs = []
         for p in range(P):
@@ -207,6 +209,7 @@ def partition_graph(graph: Graph, num_shards: int,
             local_graphs.append(Graph(
                 src=o_src[p], dst=o_dst[p], weight=o_w[p],
                 row_ptr=o_rp[p], in_degrees=o_deg[p],
+                edge_feat=None if o_ef is None else o_ef[p],
                 num_nodes=P * R_shard, num_recipients=R_shard,
                 num_edges=ne))
         # global classes from the max degree over all shards
@@ -246,6 +249,11 @@ def partition_graph(graph: Graph, num_shards: int,
             jnp.asarray(np.stack([np.asarray(mt.row_ids[ci])
                                   for mt in mts]))
             for ci in range(len(classes)))
+        if o_ef is not None:
+            mtbl_ef = tuple(
+                jnp.asarray(np.stack([np.asarray(mt.tables[ci].edge_feat)
+                                      for mt in mts]))
+                for ci in range(len(classes)))
 
     # all-to-all exchange metadata: which of q's local rows does p need?
     a2a_send = a2a_src = a2a_tbl = a2a_mtbl = None
@@ -299,7 +307,7 @@ def partition_graph(graph: Graph, num_shards: int,
         a2a_tbl_idx=None if a2a_tbl is None else jnp.asarray(a2a_tbl),
         a2a_rows=int(L),
         mtbl_idx=mtbl_idx, mtbl_w=mtbl_w, mtbl_rows=mtbl_rows,
-        a2a_mtbl_idx=a2a_mtbl,
+        mtbl_ef=mtbl_ef, a2a_mtbl_idx=a2a_mtbl,
         num_nodes=graph.num_nodes, num_recipients=R, num_shards=P,
         shard_num_recipients=R_shard)
 

@@ -51,20 +51,24 @@ class MinibatchTrainer(Trainer):
         self._mb_step = self._make_minibatch_step()
 
     def _make_minibatch_step(self):
+        import functools
         model, opt, fixed = self.model, self.opt, self.fixed
 
-        def loss_fn(params, Xb, graph, labels, mask):
-            logits = model.apply({'params': params, **fixed}, Xb, graph)
+        def loss_fn(params, bstats, Xb, graph, labels, mask, rng):
+            logits, mutated = model.apply(
+                {'params': params, **bstats, **fixed}, Xb, graph,
+                train=True, rngs={'dropout': rng}, mutable=['batch_stats'])
             s, c = masked_softmax_cross_entropy(logits, labels, mask)
-            return s / jnp.maximum(c, 1.0)
+            return s / jnp.maximum(c, 1.0), mutated
 
-        @jax.jit
-        def step(params, opt_state, Xb, graph, labels, mask):
-            loss, grads = jax.value_and_grad(loss_fn)(params, Xb, graph,
-                                                      labels, mask)
+        @functools.partial(jax.jit, donate_argnums=(0, 2))
+        def step(params, bstats, opt_state, Xb, graph, labels, mask, rng):
+            (loss, mutated), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, bstats, Xb, graph, labels,
+                                       mask, rng)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return params, mutated, opt_state, loss
 
         return step
 
@@ -96,8 +100,10 @@ class MinibatchTrainer(Trainer):
                 seeds = np.concatenate(
                     [seeds, order[:self.batch_size - len(seeds)]])
             g, Xb, labels, mask = self._build_batch(seeds)
-            self.params, self.opt_state, loss = self._mb_step(
-                self.params, self.opt_state, Xb, g, labels, mask)
+            self._key, rng = jax.random.split(self._key)
+            (self.params, self.batch_stats, self.opt_state,
+             loss) = self._mb_step(self.params, self.batch_stats,
+                                   self.opt_state, Xb, g, labels, mask, rng)
             losses.append(float(loss))
         self.step_count += 1
         return float(np.mean(losses)) if losses else float('nan')

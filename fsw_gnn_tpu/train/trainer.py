@@ -12,6 +12,7 @@ full-graph training) on one chip or an edge-partitioned mesh, with:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from typing import Any, Callable, Dict, Optional
@@ -47,6 +48,7 @@ class TrainConfig:
                                             # off by default for init speed
     mlp_layers: int = 1
     dropout: float = 0.0
+    batchnorm: bool = False
     slice_chunk: Optional[int] = None       # serialize slices to cap memory
     seed: int = 0
     num_devices: Optional[int] = None       # >1 -> edge-partitioned mesh
@@ -66,17 +68,32 @@ class Trainer:
         # distribution; the distributed path partitions the CSR graph
         self.compute_graph = auto_layout(self.graph)
         dims = tuple(config.hidden_dims) + (data.num_classes,)
+        n_dev = config.num_devices or 1
+        self.distributed = n_dev > 1
         self.model = FSWGNN(
             in_channels=data.features.shape[1], hidden_dims=dims,
             embed_dim=config.embed_dim,
             minimize_slice_coherence=config.minimize_slice_coherence,
             mlp_layers=config.mlp_layers, dropout=config.dropout,
+            batchnorm=config.batchnorm,
+            # cross-shard batch statistics when BatchNorm runs inside the
+            # edge-partitioned shard_map (each device sees only its
+            # recipients' rows)
+            bn_axis_name='graph' if (self.distributed and config.batchnorm)
+            else None,
             slice_chunk=config.slice_chunk)
         self.X = jnp.asarray(data.features, jnp.float32)
         variables = self.model.init(jax.random.PRNGKey(config.seed),
                                     self.X, self.graph)
         self.params = variables['params']
-        self.fixed = {k: v for k, v in variables.items() if k != 'params'}
+        # BatchNorm running statistics are training-mutable state; everything
+        # else non-params (e.g. 'fsw_fixed' non-learnable embedding params)
+        # is constant per run
+        self.batch_stats = ({'batch_stats': variables['batch_stats']}
+                            if 'batch_stats' in variables else {})
+        self.fixed = {k: v for k, v in variables.items()
+                      if k not in ('params', 'batch_stats')}
+        self._key = jax.random.PRNGKey(config.seed + 1)
 
         if config.lr_schedule == 'cosine':
             lr = optax.cosine_decay_schedule(config.learning_rate,
@@ -95,8 +112,6 @@ class Trainer:
         self.step_count = 0
         self.history: list = []
 
-        n_dev = config.num_devices or 1
-        self.distributed = n_dev > 1
         if self.distributed:
             self.mesh = make_graph_mesh(n_dev)
             self.shards = partition_graph(self.graph, n_dev)
@@ -107,8 +122,15 @@ class Trainer:
             self._step = make_distributed_train_step(
                 self.model, self.opt, self.shards, self.mesh,
                 fixed_collections=self.fixed, exchange=config.exchange)
+            # built ONCE: a fresh closure per predict() would retrace+
+            # recompile on every evaluation (minutes per compile on TPU)
+            self._fwd = make_distributed_forward(
+                self.model, self.shards, self.mesh, exchange=config.exchange)
         else:
             self._step = self._make_single_step()
+            model, graph = self.model, self.compute_graph
+            self._fwd = jax.jit(
+                lambda variables, X: model.apply(variables, X, graph))
 
         self._ckpt_mgr = None
         if config.checkpoint_dir:
@@ -124,43 +146,46 @@ class Trainer:
         model, opt, fixed = self.model, self.opt, self.fixed
         graph = self.compute_graph
 
-        def loss_fn(params, X):
-            logits = model.apply({'params': params, **fixed}, X, graph)
+        def loss_fn(params, bstats, X, rng):
+            # train=True: dropout active, BatchNorm uses (and updates) batch
+            # statistics -- the reference's MLP training semantics
+            # (/root/reference/fsw_conv.py:268-310)
+            logits, mutated = model.apply(
+                {'params': params, **bstats, **fixed}, X, graph,
+                train=True, rngs={'dropout': rng}, mutable=['batch_stats'])
             s, c = masked_softmax_cross_entropy(logits, labels, mask)
-            return s / jnp.maximum(c, 1.0)
+            return s / jnp.maximum(c, 1.0), mutated
 
-        @jax.jit
-        def step(params, opt_state, X):
-            loss, grads = jax.value_and_grad(loss_fn)(params, X)
+        @functools.partial(jax.jit, donate_argnums=(0, 2))
+        def step(params, bstats, opt_state, X, rng):
+            (loss, mutated), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, bstats, X, rng)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return params, mutated, opt_state, loss
 
         return step
 
     # ------------------------------------------------------------------
     def train_epoch(self) -> float:
+        self._key, rng = jax.random.split(self._key)
         if self.distributed:
-            self.params, self.opt_state, loss = self._step(
-                self.params, self.opt_state, self.Xs, self.shards,
-                self.labels_s, self.train_mask_s)
+            (self.params, self.opt_state, self.batch_stats,
+             loss) = self._step(
+                self.params, self.opt_state, self.batch_stats, self.Xs,
+                self.shards, self.labels_s, self.train_mask_s, rng)
         else:
-            self.params, self.opt_state, loss = self._step(
-                self.params, self.opt_state, self.X)
+            self.params, self.batch_stats, self.opt_state, loss = self._step(
+                self.params, self.batch_stats, self.opt_state, self.X, rng)
         self.step_count += 1
         return float(loss)
 
     def predict(self) -> np.ndarray:
+        variables = {'params': self.params, **self.batch_stats, **self.fixed}
         if self.distributed:
-            fwd = make_distributed_forward(
-                self.model, self.shards, self.mesh,
-                {'params': self.params, **self.fixed},
-                exchange=self.cfg.exchange)
-            stacked = fwd(self.Xs, self.shards)
+            stacked = self._fwd(variables, self.Xs, self.shards)
             return unshard_recipient_values(stacked, self.shards)
-        out = self.model.apply({'params': self.params, **self.fixed},
-                               self.X, self.compute_graph)
-        return np.asarray(out)
+        return np.asarray(self._fwd(variables, self.X))
 
     def evaluate(self) -> Dict[str, float]:
         logits = self.predict()
@@ -183,6 +208,7 @@ class Trainer:
             self.step_count,
             args=ocp.args.StandardSave({'params': self.params,
                                         'opt_state': self.opt_state,
+                                        'batch_stats': self.batch_stats,
                                         'fixed': self.fixed}))
         self._ckpt_mgr.wait_until_finished()
 
@@ -194,9 +220,11 @@ class Trainer:
             step,
             args=ocp.args.StandardRestore({'params': self.params,
                                            'opt_state': self.opt_state,
+                                           'batch_stats': self.batch_stats,
                                            'fixed': self.fixed}))
         self.params = restored['params']
         self.opt_state = restored['opt_state']
+        self.batch_stats = restored.get('batch_stats', {}) or {}
         self.fixed = restored['fixed']
         self.step_count = step
         return step

@@ -55,7 +55,9 @@ def test_dp_minibatch_step_matches_serial():
     mesh = make_data_mesh(D)
     opt = optax.sgd(1.0)
     step = make_dp_train_step(model, opt, gs, mesh, fixed_collections=fixed)
-    p_new, _, loss = step(params, opt.init(params), gs, X, labels, mask)
+    p_in = jax.tree_util.tree_map(jnp.array, params)  # step donates params
+    p_new, _, _, loss = step(p_in, opt.init(params), {}, gs, X, labels,
+                             mask, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
 
     # serial reference: mean loss over all 4 batches, one SGD step

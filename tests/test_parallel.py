@@ -95,9 +95,11 @@ def test_distributed_train_step_runs_and_improves():
                                        fixed_collections=fixed)
 
     losses = []
-    p_, s_ = params, opt_state
-    for _ in range(30):
-        p_, s_, loss = step(p_, s_, Xs, shards, labels, mask)
+    p_, s_, b_ = params, opt_state, {}
+    rng = jax.random.PRNGKey(0)
+    for i in range(30):
+        p_, s_, b_, loss = step(p_, s_, b_, Xs, shards, labels, mask,
+                                jax.random.fold_in(rng, i))
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.9, losses[::10]
@@ -136,8 +138,12 @@ def test_distributed_grads_match_single_device():
     opt = optax.sgd(1.0)
     step = make_distributed_train_step(model, opt, shards, mesh,
                                        fixed_collections=fixed)
-    p_new, _, loss = step(params, opt.init(params), Xs, shards, labels,
-                          jnp.asarray(mask, jnp.float64))
+    # the step donates params/opt_state buffers -- pass copies since the
+    # originals are compared against afterwards
+    p_in = jax.tree_util.tree_map(jnp.array, params)
+    p_new, _, _, loss = step(p_in, opt.init(params), {}, Xs, shards,
+                             labels, jnp.asarray(mask, jnp.float64),
+                             jax.random.PRNGKey(0))
     g_dist = jax.tree_util.tree_map(lambda a, b: a - b, params, p_new)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -198,8 +204,10 @@ def test_all_to_all_train_step_grads_match():
         step = make_distributed_train_step(model, opt, shards, mesh,
                                            fixed_collections=fixed,
                                            exchange=exch)
-        p_new, _, loss = step(params, opt.init(params), Xs, shards, labels,
-                              jnp.asarray(mask, jnp.float64))
+        p_in = jax.tree_util.tree_map(jnp.array, params)  # step donates
+        p_new, _, _, loss = step(p_in, opt.init(params), {}, Xs, shards,
+                                 labels, jnp.asarray(mask, jnp.float64),
+                                 jax.random.PRNGKey(0))
         outs[exch] = (p_new, float(loss))
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -207,3 +215,29 @@ def test_all_to_all_train_step_grads_match():
         outs['all_gather'][0], outs['all_to_all'][0])
     np.testing.assert_allclose(outs['all_gather'][1], outs['all_to_all'][1],
                                rtol=1e-12)
+
+
+@pytest.mark.parametrize('num_devices', [4])
+def test_distributed_forward_with_edge_features(num_devices):
+    """Edge-featured graphs must run on the distributed table layout (not a
+    silent CSR fallback) and match the single-device result."""
+    rng = np.random.default_rng(30)
+    n, d_in, d_e, d_out = 48, 5, 3, 4
+    edge_index = _random_graph(rng, n)
+    ef = rng.standard_normal((edge_index.shape[1], d_e)).astype(np.float32)
+    g = from_edge_index(edge_index, n, edge_features=ef, dtype=jnp.float32)
+    X = rng.standard_normal((n, d_in)).astype(np.float32)
+
+    model = FSWGNN(in_channels=d_in, hidden_dims=(6, d_out), edgefeat_dim=d_e,
+                   minimize_slice_coherence=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X), g)
+    want = np.asarray(model.apply(variables, jnp.asarray(X), g))
+
+    mesh = make_graph_mesh(num_devices)
+    shards = partition_graph(g, num_devices)
+    assert shards.mtbl_ef is not None, (
+        'edge-featured partition must carry table edge features')
+    Xs = shard_node_features(X, shards)
+    fwd = make_distributed_forward(model, shards, mesh, variables)
+    got = unshard_recipient_values(fwd(Xs, shards), shards)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
