@@ -42,7 +42,7 @@ from typing import Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from .ops.segment import (rows_gather, segment_cumsum, segment_sort,
+from .ops.segment import (rows_gather, segment_cumsum,
                           segment_sort_fused, segment_sum, sort_pairs_fused)
 
 
@@ -238,10 +238,7 @@ def fsw_embed_multiset(X: jax.Array,
     S = cfg.nSlices
     V = projVecs[:, :cfg.d_in]
     if slice_chunk is None or slice_chunk >= S:
-        if cfg.cartesian_mode:
-            emb = slices_block(V, freqs)
-        else:
-            emb = slices_block(V, freqs)
+        emb = slices_block(V, freqs)
     else:
         n_chunks = -(-S // slice_chunk)
         S_pad = n_chunks * slice_chunk
@@ -288,10 +285,7 @@ def fsw_embed_graph(X: jax.Array,
                     cfg: FSWConfig,
                     bias: Optional[jax.Array] = None,
                     total_mass_scale: Optional[jax.Array] = None,
-                    slice_chunk: Optional[int] = None,
-                    vjp_mode: str = 'rows') -> jax.Array:
-    # vjp_mode: 'rows' (default, scatter-free backward) or 'legacy'
-    # (XLA-native adjoints; kept for A/B benchmarking)
+                    slice_chunk: Optional[int] = None) -> jax.Array:
     """Embed every recipient's in-neighborhood of a CSR `Graph`.
 
     X: (num_nodes, d_in) sender features.  Returns (num_recipients, d_out)
@@ -314,7 +308,7 @@ def fsw_embed_graph(X: jax.Array,
 
     with jax.named_scope('fsw_project'):
         Xp = X @ projVecs[:, :cfg.d_in].T                          # (N, S)
-    if vjp_mode in ('rows', 'both') and graph.src_order is not None:
+    if graph.src_order is not None:
         # scatter-free backward: adjoint is a sorted segment-sum
         P = rows_gather(graph.num_nodes, Xp, graph.src, graph.src_order,
                         graph.src_sorted)                          # (E, S)
@@ -326,13 +320,10 @@ def fsw_embed_graph(X: jax.Array,
 
     def one_slice(p_k, f_k):
         """p_k: (E,) projections for one slice; f_k: () or (F,) freqs."""
-        if vjp_mode == 'legacy':
-            ps, ws = segment_sort(p_k, wn, segment_ids=dst)
-        else:
-            # one forward sort (payloads + permutation); backward unsorts
-            # the cotangents with one sort keyed on the permutation -- no
-            # scatters (the measured 2.6x winner, see CLAUDE.md)
-            ps, ws = segment_sort_fused(p_k, wn, dst)
+        # one forward sort (payloads + permutation); backward unsorts
+        # the cotangents with one sort keyed on the permutation -- no
+        # scatters (the measured 2.6x winner, see CLAUDE.md)
+        ps, ws = segment_sort_fused(p_k, wn, dst)
         with jax.named_scope('fsw_segcumsum'):
             c = segment_cumsum(ws, dst, graph.row_ptr) + pad_norm_e * (ps > 0)
         if cfg.cartesian_mode:
@@ -496,12 +487,15 @@ def fsw_embed_graph_dense(X: jax.Array,
                           cfg: FSWConfig,
                           X_edge: Optional[jax.Array] = None,
                           bias: Optional[jax.Array] = None,
-                          total_mass_scale: Optional[jax.Array] = None) -> jax.Array:
+                          total_mass_scale: Optional[jax.Array] = None,
+                          slice_chunk: Optional[int] = None) -> jax.Array:
     """Graph mode with a dense adjacency W: (..., R, n); X: (..., n, d_in).
 
     X_edge: (..., R, n, d_edge) or (..., R, n) when d_edge == 1
     (fsw_embedding.py:744-757).
-    Returns (..., R, d_out).
+    Returns (..., R, d_out).  `slice_chunk` serializes the slice axis to cap
+    the (..., R, n, S_chunk) peak (the reference's serialize_num_slices,
+    fsw_embedding.py:620-623, 839-851).
     """
     n = W.shape[-1]
 
@@ -510,30 +504,62 @@ def fsw_embed_graph_dense(X: jax.Array,
     pad_norm = lowclamp(cfg.total_mass_pad_thresh - w_sum, 0.0) / w_sum_padded
     wn = W / w_sum_padded[..., None]                               # (..., R, n)
 
-    Xp = jnp.einsum('...nd,sd->...ns', X, projVecs[:, :cfg.d_in])  # (..., n, S)
     if cfg.d_edge > 0:
         assert X_edge is not None
         if X_edge.ndim == W.ndim:
             X_edge = X_edge[..., None]
-        Ep = jnp.einsum('...rne,se->...rns', X_edge, projVecs[:, cfg.d_in:])
-        P = Xp[..., None, :, :] + Ep                               # (..., R, n, S)
-    else:
-        P = jnp.broadcast_to(Xp[..., None, :, :],
-                             W.shape[:-1] + Xp.shape[-2:])         # (..., R, n, S)
 
-    keys = jnp.moveaxis(P, -2, -1)                                 # (..., R, S, n)
-    ps, ws = sort_pairs_fused(
-        keys, jnp.broadcast_to(wn[..., None, :], keys.shape))      # (..., R, S, n)
+    def slices_block(proj_block, f_block):
+        """proj_block: (Sb, d_in+d_edge); f_block: (Sb,) or (F,) freqs."""
+        Xp = jnp.einsum('...nd,sd->...ns', X, proj_block[:, :cfg.d_in])
+        if cfg.d_edge > 0:
+            Ep = jnp.einsum('...rne,se->...rns', X_edge,
+                            proj_block[:, cfg.d_in:])
+            P = Xp[..., None, :, :] + Ep                           # (..., R, n, Sb)
+        else:
+            P = jnp.broadcast_to(Xp[..., None, :, :],
+                                 W.shape[:-1] + Xp.shape[-2:])     # (..., R, n, Sb)
 
-    c = jnp.cumsum(ws, axis=-1) + pad_norm[..., None, None] * (ps > 0)
+        keys = jnp.moveaxis(P, -2, -1)                             # (..., R, Sb, n)
+        ps, ws = sort_pairs_fused(
+            keys, jnp.broadcast_to(wn[..., None, :], keys.shape))
 
-    if cfg.cartesian_mode:
-        sd = _sinc_diff(ws[..., None], c[..., None], freqs)        # (..., R, S, n, F)
-        emb = jnp.einsum('...sn,...snf->...sf', ps, sd)
-        emb = (1.0 + freqs) * emb                                  # (..., R, S, F)
-    else:
-        sd = _sinc_diff(ws, c, freqs[..., :, None])                # (..., R, S, n)
+        c = jnp.cumsum(ws, axis=-1) + pad_norm[..., None, None] * (ps > 0)
+
+        if cfg.cartesian_mode:
+            sd = _sinc_diff(ws[..., None], c[..., None], f_block)  # (...,R,Sb,n,F)
+            emb = jnp.einsum('...sn,...snf->...sf', ps, sd)
+            return (1.0 + f_block) * emb                           # (..., R, Sb, F)
+        sd = _sinc_diff(ws, c, f_block[..., :, None])              # (..., R, Sb, n)
         emb = jnp.sum(ps * sd, axis=-1)
-        emb = (1.0 + freqs) * emb                                  # (..., R, S)
+        return (1.0 + f_block) * emb                               # (..., R, Sb)
+
+    S = cfg.nSlices
+    if cfg.cartesian_mode:
+        slice_freqs = jnp.broadcast_to(freqs, (S,) + freqs.shape)
+    else:
+        slice_freqs = freqs
+
+    if slice_chunk is None or slice_chunk >= S:
+        emb = slices_block(projVecs,
+                           freqs if cfg.cartesian_mode else slice_freqs)
+    else:
+        n_chunks = -(-S // slice_chunk)
+        S_pad = n_chunks * slice_chunk
+        V_pad = jnp.pad(projVecs, ((0, S_pad - S), (0, 0)))
+        V_chunks = V_pad.reshape(n_chunks, slice_chunk, projVecs.shape[1])
+        if cfg.cartesian_mode:
+            emb = jax.lax.map(lambda v: slices_block(v, freqs), V_chunks)
+            # (n_chunks, ..., R, chunk, F) -> (..., R, S, F)
+            emb = jnp.moveaxis(emb, 0, -3)
+            emb = emb.reshape(emb.shape[:-3] +
+                              (S_pad,) + emb.shape[-1:])[..., :S, :]
+        else:
+            f_pad = jnp.pad(slice_freqs, (0, S_pad - S))
+            f_chunks = f_pad.reshape(n_chunks, slice_chunk)
+            emb = jax.lax.map(lambda vf: slices_block(vf[0], vf[1]),
+                              (V_chunks, f_chunks))
+            emb = jnp.moveaxis(emb, 0, -2)
+            emb = emb.reshape(emb.shape[:-2] + (S_pad,))[..., :S]
 
     return _finalize(emb, w_sum, cfg, bias, total_mass_scale)

@@ -114,7 +114,8 @@ class FSWEmbedding(nn.Module):
         if graph_mode:
             return fsw_embed_graph_dense(X, W, proj, freqs, cfg,
                                          X_edge=X_edge, bias=bias,
-                                         total_mass_scale=tm_scale)
+                                         total_mass_scale=tm_scale,
+                                         slice_chunk=slice_chunk)
         return fsw_embed_multiset(X, W, proj, freqs, cfg, bias=bias,
                                   total_mass_scale=tm_scale, w_mode=w_mode,
                                   slice_chunk=slice_chunk)

@@ -25,19 +25,45 @@ import jax.numpy as jnp
 
 def segment_cumsum(values: jax.Array, segment_ids: jax.Array,
                    row_ptr: jax.Array | None = None,
-                   num_segments: int | None = None) -> jax.Array:
+                   num_segments: int | None = None,
+                   method: str = 'restart') -> jax.Array:
     """Inclusive cumulative sum within each segment.
 
-    `segment_ids` must be sorted (non-decreasing).  If `row_ptr` is given
-    (shape (num_segments+1,), row_ptr[s] = first index of segment s), the
-    segment bases are gathered directly; otherwise they are derived from a
-    boundary mask.
+    `segment_ids` must be sorted (non-decreasing).  Numerically the same
+    operation as the reference's `segcumsum_torch_main`
+    (fsw_embedding.py:2853-2874): an inclusive cumsum restarted at every
+    segment boundary.
 
-    Implementation: one global inclusive cumsum, then subtract each segment's
-    exclusive prefix (the global cumsum just before the segment start).  This
-    is O(E) with a single log-depth scan, the XLA-friendly formulation of the
-    reference's hierarchical block scan (fsw_embedding.cu:35-117).
+    method='restart' (default): a log-depth `lax.associative_scan` over the
+    segmented-sum monoid  (v1,f1) * (v2,f2) = (v2 + v1*(1-f2), f1|f2)  with
+    f marking segment starts.  The scan restarts at each boundary, so the
+    rounding error per element is ~eps * (segment prefix), matching the
+    per-bucket table path and the Pallas kernel -- NOT eps * (global
+    prefix).
+
+    method='global': one global inclusive cumsum minus each segment's
+    exclusive prefix at its start.  Cheaper (single plain cumsum) but at f32
+    the absolute error grows like eps * global_prefix (~0.1 at 131k edges /
+    8k segments -- measured, see BENCH.md); only use where that is
+    acceptable (f64, or small edge counts).
     """
+    if method == 'restart':
+        # boundary flags straight from the (sorted) ids -- no scatter
+        is_start = jnp.concatenate([
+            jnp.ones((1,), dtype=bool),
+            segment_ids[1:] != segment_ids[:-1]])
+        if values.ndim > 1:
+            is_start = is_start.reshape((-1,) + (1,) * (values.ndim - 1))
+        flags = jnp.broadcast_to(is_start, values.shape)
+
+        def combine(a, b):
+            va, fa = a
+            vb, fb = b
+            return jnp.where(fb, vb, va + vb), jnp.logical_or(fa, fb)
+
+        out, _ = jax.lax.associative_scan(combine, (values, flags), axis=0)
+        return out
+
     incl = jnp.cumsum(values, axis=0)
     # exclusive cumsum by shift (exact), feeds the per-segment base gather
     excl = jnp.concatenate(

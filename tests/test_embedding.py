@@ -385,3 +385,64 @@ def test_multiset_slice_chunking_invariance():
                                  cfgc, slice_chunk=2)
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
                                rtol=1e-12, atol=1e-13)
+
+
+def test_graph_dense_slice_chunking_invariance():
+    """fsw_embed_graph_dense(slice_chunk=k) == unchunked, both modes
+    (the reference's serialize_num_slices memory valve,
+    fsw_embedding.py:620-623, 839-851)."""
+    rng = np.random.default_rng(11)
+    n, R, d_in = 12, 7, 4
+    X = jnp.asarray(rng.standard_normal((n, d_in)))
+    W = jnp.asarray(np.abs(rng.standard_normal((R, n))) *
+                    (rng.random((R, n)) < 0.5))
+
+    cfg = FSWConfig(d_in=d_in, d_out=10)
+    proj, freqs, bias = _rand_params(rng, cfg)
+    full = fsw_embed_graph_dense(X, W, jnp.asarray(proj), jnp.asarray(freqs),
+                                 cfg, bias=jnp.asarray(bias))
+    for k in [1, 3, 4, 16]:
+        got = fsw_embed_graph_dense(X, W, jnp.asarray(proj),
+                                    jnp.asarray(freqs), cfg,
+                                    bias=jnp.asarray(bias), slice_chunk=k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                                   rtol=1e-12, atol=1e-12)
+
+    cfg_c = FSWConfig(d_in=d_in, n_slices=6, n_freqs=3, enable_bias=False)
+    proj_c, freqs_c, _ = _rand_params(rng, cfg_c, bias=False)
+    full_c = fsw_embed_graph_dense(X, W, jnp.asarray(proj_c),
+                                   jnp.asarray(freqs_c), cfg_c)
+    for k in [1, 2, 4]:
+        got_c = fsw_embed_graph_dense(X, W, jnp.asarray(proj_c),
+                                      jnp.asarray(freqs_c), cfg_c,
+                                      slice_chunk=k)
+        np.testing.assert_allclose(np.asarray(got_c), np.asarray(full_c),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_graph_csr_f32_accuracy_at_scale():
+    """The CSR path at f32 must match f64 to ~1e-5 at 131k edges: the
+    segment-restarting cumsum keeps per-element error at eps*segment_prefix,
+    not eps*global_prefix (the round-1 CSR accuracy caveat, now fixed)."""
+    rng = np.random.default_rng(5)
+    n_nodes, avg_deg, d_in, d_out = 8192, 16, 8, 8
+    E = n_nodes * avg_deg
+    src = rng.integers(0, n_nodes, E)
+    dst = rng.integers(0, n_nodes, E)
+    keep = src != dst
+    ei = np.stack([src[keep], dst[keep]])
+    X = rng.standard_normal((n_nodes, d_in))
+
+    cfg = FSWConfig(d_in=d_in, d_out=d_out, enable_bias=False)
+    proj, freqs, _ = _rand_params(rng, cfg, bias=False)
+
+    g64 = from_edge_index(ei, n_nodes, dtype=jnp.float64)
+    want = np.asarray(fsw_embed_graph(jnp.asarray(X), g64,
+                                      jnp.asarray(proj), jnp.asarray(freqs),
+                                      cfg))
+    g32 = from_edge_index(ei, n_nodes, dtype=jnp.float32)
+    got = np.asarray(fsw_embed_graph(jnp.asarray(X, jnp.float32), g32,
+                                     jnp.asarray(proj, jnp.float32),
+                                     jnp.asarray(freqs, jnp.float32), cfg))
+    err = np.max(np.abs(got - want))
+    assert err < 2e-5, f'f32 CSR error {err}'
