@@ -8,11 +8,11 @@ segmented sort/scan primitives, shard_map edge partitioning for pod slices.
 """
 
 from .embedding import (FSWConfig, fsw_embed_multiset, fsw_embed_graph,
-                        fsw_embed_graph_dense, fsw_embed_multi_table,
-                        fsw_embed_table, lowclamp)
+                        fsw_embed_graph_batched, fsw_embed_graph_dense,
+                        fsw_embed_multi_table, fsw_embed_table, lowclamp)
 from .graph import (Graph, MultiTable, NeighborTable, auto_layout,
-                    from_edge_index, readout_graph, to_multi_table,
-                    to_neighbor_table)
+                    from_edge_index, readout_graph, stack_graphs,
+                    to_multi_table, to_neighbor_table)
 from .params import generate_params, generate_freqs, generate_proj_vecs
 from .ops.coherence import minimize_mutual_coherence, mutual_coherence
 from .ops.segment import (segment_cumsum, segment_sort, segment_sum,

@@ -361,6 +361,40 @@ def fsw_embed_graph(X: jax.Array,
     return _finalize(emb.astype(dt), w_sum, cfg, bias, total_mass_scale)
 
 
+def fsw_embed_graph_batched(X: jax.Array,
+                            graphs,
+                            projVecs: jax.Array,
+                            freqs: jax.Array,
+                            cfg: FSWConfig,
+                            bias: Optional[jax.Array] = None,
+                            total_mass_scale: Optional[jax.Array] = None,
+                            slice_chunk: Optional[int] = None) -> jax.Array:
+    """Batched sparse graph mode: embed a stack of equally-shaped graphs.
+
+    The supported equivalent of the reference's batched sparse-W call
+    (/root/reference/fsw_embedding.py:598-757, batch_dims with sparse COO
+    W): the TPU-native layout stacks G same-shape CSR graphs (a `Graph`
+    pytree whose array leaves carry a leading [G] axis -- build with
+    `graph.stack_graphs`) and vmaps the single-graph CSR pipeline.
+
+    X: (G, n, d_in); returns (G, R, d_out).
+    """
+    def one(Xg, src, dst, w, rp, ef, so, ss):
+        g = dataclasses.replace(
+            graphs, src=src, dst=dst, weight=w, row_ptr=rp,
+            in_degrees=graphs.in_degrees[0], edge_feat=ef,
+            src_order=so, src_sorted=ss)
+        return fsw_embed_graph(Xg, g, projVecs, freqs, cfg, bias=bias,
+                               total_mass_scale=total_mass_scale,
+                               slice_chunk=slice_chunk)
+
+    ef = graphs.edge_feat
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0,
+                                  None if ef is None else 0, 0, 0))(
+        X, graphs.src, graphs.dst, graphs.weight, graphs.row_ptr,
+        ef, graphs.src_order, graphs.src_sorted)
+
+
 # ---------------------------------------------------------------------------
 # Bucketed neighbor-table path -- the TPU fast path.
 #

@@ -368,6 +368,36 @@ def auto_layout(graph: Graph, max_bucket: int = 4096):
     return mt
 
 
+def stack_graphs(graphs) -> Graph:
+    """Stack equally-shaped CSR `Graph`s into one batched Graph pytree
+    (leading [G] axis on every array leaf).
+
+    The TPU-native equivalent of the reference's batched sparse-W mode
+    (fsw_embedding.py:598-757): consume with
+    `embedding.fsw_embed_graph_batched` (vmapped CSR pipeline) or index a
+    single graph out with `jax.tree_util.tree_map(lambda a: a[i], ...)`.
+    All graphs must share padded shapes (use `pad_to=` in
+    `from_edge_index`) and static metadata.
+    """
+    g0 = graphs[0]
+    for g in graphs[1:]:
+        assert g.src.shape == g0.src.shape, 'pad all graphs to equal shapes'
+        assert g.num_recipients == g0.num_recipients
+        assert (g.edge_feat is None) == (g0.edge_feat is None)
+    return Graph(
+        src=jnp.stack([g.src for g in graphs]),
+        dst=jnp.stack([g.dst for g in graphs]),
+        weight=jnp.stack([g.weight for g in graphs]),
+        row_ptr=jnp.stack([g.row_ptr for g in graphs]),
+        in_degrees=jnp.stack([g.in_degrees for g in graphs]),
+        edge_feat=(None if g0.edge_feat is None else
+                   jnp.stack([g.edge_feat for g in graphs])),
+        src_order=jnp.stack([g.src_order for g in graphs]),
+        src_sorted=jnp.stack([g.src_sorted for g in graphs]),
+        num_nodes=g0.num_nodes, num_recipients=g0.num_recipients,
+        num_edges=max(g.num_edges for g in graphs))
+
+
 def readout_graph(graph_index, num_vertices: int,
                   batch_size: Optional[int] = None,
                   *, pad_multiple: int = 128, dtype=jnp.float32) -> Graph:

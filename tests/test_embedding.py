@@ -446,3 +446,34 @@ def test_graph_csr_f32_accuracy_at_scale():
                                      jnp.asarray(freqs, jnp.float32), cfg))
     err = np.max(np.abs(got - want))
     assert err < 2e-5, f'f32 CSR error {err}'
+
+
+def test_batched_sparse_graph_mode():
+    """Stacked-graph vmapped CSR embedding == per-graph loop: the supported
+    equivalent of the reference's batched sparse-W mode
+    (fsw_embedding.py:598-757)."""
+    from fsw_gnn_tpu import fsw_embed_graph_batched, stack_graphs
+    rng = np.random.default_rng(13)
+    G, n, d_in, d_out = 3, 20, 4, 6
+    graphs = []
+    for _ in range(G):
+        A = rng.random((n, n)) < 0.3
+        np.fill_diagonal(A, False)
+        src, dst = np.nonzero(A)
+        graphs.append(from_edge_index(np.stack([src, dst]), n, pad_to=256,
+                                      dtype=jnp.float64))
+    X = jnp.asarray(rng.standard_normal((G, n, d_in)))
+
+    cfg = FSWConfig(d_in=d_in, d_out=d_out)
+    proj, freqs, bias = _rand_params(rng, cfg)
+
+    stacked = stack_graphs(graphs)
+    got = fsw_embed_graph_batched(X, stacked, jnp.asarray(proj),
+                                  jnp.asarray(freqs), cfg,
+                                  bias=jnp.asarray(bias))
+    for i, g in enumerate(graphs):
+        want = fsw_embed_graph(X[i], g, jnp.asarray(proj),
+                               jnp.asarray(freqs), cfg,
+                               bias=jnp.asarray(bias))
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                   rtol=1e-10, atol=1e-12)

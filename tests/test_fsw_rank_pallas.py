@@ -1,0 +1,88 @@
+"""Correctness of the fused rank-based FSW aggregation kernel (interpret
+mode) vs the XLA table-path math, forward and analytic backward.
+
+The rank reformulation must match the stable-sort + cumsum semantics
+exactly: c_i = sum_j wn_j 1[p_j < p_i or (p_j == p_i and j <= i)] is the
+inclusive weight cumsum at i's stable-sorted position.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fsw_gnn_tpu.ops.fsw_rank_pallas import fsw_rank_aggregate
+from fsw_gnn_tpu.ops.segment import sort_pairs_fused
+
+
+def _xla_ref(P, wn, pad, freqs):
+    """The XLA table-path slice pipeline (embedding.fsw_embed_table math,
+    non-cartesian), on pre-gathered projections."""
+    keysB = jnp.moveaxis(P, 1, 2)                     # (R, S, B)
+    ps, ws = sort_pairs_fused(
+        keysB, jnp.broadcast_to(wn[:, None, :], keysB.shape))
+    c = jnp.cumsum(ws, axis=2) + pad[:, None, None] * (ps > 0)
+    sd = 2.0 * ws * jnp.sinc(freqs[None, :, None] * ws) * jnp.cos(
+        jnp.pi * freqs[None, :, None] * (2.0 * c - ws))
+    return (1.0 + freqs) * jnp.sum(ps * sd, axis=2)
+
+
+def _rand_args(rng, R, B, S, ties=False, dtype=np.float64):
+    P = rng.standard_normal((R, B, S))
+    if ties:
+        # force exact key ties inside buckets to exercise the stable
+        # tie-break rule
+        P[:, 1::2, :] = P[:, 0::2, :]
+    w = np.abs(rng.standard_normal((R, B))) * (rng.random((R, B)) < 0.8)
+    w_sum = w.sum(1)
+    w_sum_pad = np.maximum(w_sum, 1.0)
+    wn = w / w_sum_pad[:, None]
+    pad = np.maximum(1.0 - w_sum, 0.0) / w_sum_pad
+    freqs = np.abs(rng.standard_normal(S)) + 0.1
+    return (jnp.asarray(P, dtype), jnp.asarray(wn, dtype),
+            jnp.asarray(pad, dtype), jnp.asarray(freqs, dtype))
+
+
+@pytest.mark.parametrize('R,B,S', [(5, 8, 6), (17, 16, 130), (3, 32, 128)])
+@pytest.mark.parametrize('ties', [False, True])
+def test_forward_matches_xla(R, B, S, ties):
+    rng = np.random.default_rng(0)
+    P, wn, pad, freqs = _rand_args(rng, R, B, S, ties)
+    got = fsw_rank_aggregate(P, wn, pad, freqs, None, True)
+    want = _xla_ref(P, wn, pad, freqs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize('ties', [False, True])
+def test_backward_matches_xla(ties):
+    rng = np.random.default_rng(1)
+    R, B, S = 7, 16, 12
+    P, wn, pad, freqs = _rand_args(rng, R, B, S, ties)
+    V = jnp.asarray(rng.standard_normal((R, S)))
+
+    def loss_kernel(P, wn, pad, freqs):
+        return jnp.sum(fsw_rank_aggregate(P, wn, pad, freqs, None, True) * V)
+
+    def loss_xla(P, wn, pad, freqs):
+        return jnp.sum(_xla_ref(P, wn, pad, freqs) * V)
+
+    g_k = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(P, wn, pad, freqs)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(P, wn, pad, freqs)
+    for a, b, name in zip(g_k, g_x, ['dP', 'dwn', 'dpad', 'dfreqs']):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-10, err_msg=name)
+
+
+def test_zero_weight_padding_contributes_zero():
+    rng = np.random.default_rng(2)
+    R, B, S = 4, 8, 6
+    P, wn, pad, freqs = _rand_args(rng, R, B, S)
+    # zero out half the entries' weights; their contribution must vanish
+    wn = wn.at[:, B // 2:].set(0.0)
+    out1 = fsw_rank_aggregate(P, wn, pad, freqs, None, True)
+    # moving the zero-weight projections must not change the output
+    P2 = P.at[:, B // 2:, :].add(7.0)
+    out2 = fsw_rank_aggregate(P2, wn, pad, freqs, None, True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-9, atol=1e-9)
