@@ -217,7 +217,8 @@ class FSWConv(nn.Module):
 
     @nn.compact
     def __call__(self, vertex_features, graph: Graph, *, train: bool = False,
-                 slice_chunk: Optional[int] = None, recipient_features=None):
+                 slice_chunk: Optional[int] = None, recipient_features=None,
+                 aggregate: str = 'auto'):
         """vertex_features: (N, d_in) sender features (N = graph.num_nodes).
         recipient_features: (R, d_in) the recipients' own features for the
         concat_self path; defaults to vertex_features (square graphs on one
@@ -228,7 +229,8 @@ class FSWConv(nn.Module):
 
         emb = FSWEmbedding(self._embed_cfg(), dtype=self.dtype,
                            name='fsw_embed')(
-            vertex_features, graph=graph, slice_chunk=slice_chunk)
+            vertex_features, graph=graph, slice_chunk=slice_chunk,
+            aggregate=aggregate)
 
         if self.concat_self:
             self_feats = (vertex_features if recipient_features is None
@@ -269,13 +271,14 @@ class FSWReadout(FSWConv):
 
     @nn.compact
     def __call__(self, vertex_features, graph: Graph, *, train: bool = False,
-                 slice_chunk: Optional[int] = None):
+                 slice_chunk: Optional[int] = None, aggregate: str = 'auto'):
         assert self.edgefeat_dim == 0, (
             'edgefeat_dim must be 0 in a global readout layer')
 
         emb = FSWEmbedding(self._embed_cfg(), dtype=self.dtype,
                            name='fsw_embed')(
-            vertex_features, graph=graph, slice_chunk=slice_chunk)
+            vertex_features, graph=graph, slice_chunk=slice_chunk,
+            aggregate=aggregate)
 
         # NOTE: the reference readout reuses FSW_conv.forward's tail but has
         # no per-recipient self features (recipients are graph-level nodes),

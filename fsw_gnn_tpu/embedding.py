@@ -46,6 +46,34 @@ from .ops.segment import (rows_gather, segment_cumsum,
                           segment_sort_fused, segment_sum, sort_pairs_fused)
 
 
+# Bucket-width bound for the fused rank kernel under aggregate='auto'.  The
+# kernel's weighted-rank pass is O(B^2) per entry (ops/fsw_rank_pallas.py),
+# so it wins only for narrow degree classes; wide classes stay on the
+# O(B log^2 B) XLA sort path.
+RANK_AGGREGATE_MAX_BUCKET = 64
+
+
+def _resolve_aggregate(aggregate: str, cfg, bucket_size: int) -> str:
+    """Pick the table-path aggregation backend.
+
+    'sort': XLA bitonic sort + cumsum (works everywhere, any dtype/mode).
+    'rank': fused Pallas weighted-rank kernel (TPU; non-cartesian only;
+            f32 compute).  On CPU it runs in interpret mode (tests).
+    'auto': 'rank' on TPU for non-cartesian tables with bucket_size <=
+            RANK_AGGREGATE_MAX_BUCKET, else 'sort'.
+    """
+    if aggregate not in ('auto', 'sort', 'rank'):
+        raise ValueError(f"aggregate must be 'auto'|'sort'|'rank', "
+                         f"got {aggregate!r}")
+    if aggregate != 'auto':
+        return aggregate
+    if cfg.cartesian_mode or bucket_size > RANK_AGGREGATE_MAX_BUCKET:
+        return 'sort'
+    if jax.default_backend() == 'cpu':
+        return 'sort'
+    return 'rank'
+
+
 # ---------------------------------------------------------------------------
 # Configuration
 # ---------------------------------------------------------------------------
@@ -413,16 +441,20 @@ def fsw_embed_table(X: jax.Array,
                     bias: Optional[jax.Array] = None,
                     total_mass_scale: Optional[jax.Array] = None,
                     slice_chunk: Optional[int] = None,
-                    return_raw: bool = False) -> jax.Array:
+                    return_raw: bool = False,
+                    aggregate: str = 'auto') -> jax.Array:
     """Embed neighborhoods given as a dense `NeighborTable`.
 
     X: (num_nodes, d_in).  Returns (num_recipients, d_out) (or
     (R, nSlices, nFreqs) in non-collapsed cartesian mode).
     With return_raw=True, returns (emb_before_finalize, w_sum) -- used by
     the degree-bucketed MultiTable assembler.
+    `aggregate` selects the per-neighborhood aggregation backend
+    (see `_resolve_aggregate`).
     """
     w = table.weight                                               # (R, B)
     dt = X.dtype
+    agg = _resolve_aggregate(aggregate, cfg, table.bucket_size)
 
     w_sum = jnp.sum(w, axis=-1)                                    # (R,)
     w_sum_padded = lowclamp(w_sum, cfg.total_mass_pad_thresh)
@@ -437,6 +469,17 @@ def fsw_embed_table(X: jax.Array,
         if cfg.d_edge > 0:
             assert table.edge_feat is not None
             P = P + table.edge_feat @ proj_block[:, cfg.d_in:].T
+
+        if agg == 'rank' and not cfg.cartesian_mode:
+            # fused Pallas kernel: weighted ranks replace sort+cumsum, the
+            # quadrature and its backward stay VMEM-resident (f32 compute)
+            from .ops.fsw_rank_pallas import fsw_rank_aggregate
+            f32 = jnp.float32
+            out = fsw_rank_aggregate(
+                P.astype(f32), wn.astype(f32), pad_norm.astype(f32),
+                f_block.astype(f32), None,
+                jax.default_backend() == 'cpu')
+            return out.astype(P.dtype)                             # (R, S)
 
         # sort neighborhoods along the bucket axis per slice
         keysB = jnp.moveaxis(P, 1, 2)                              # (R, S, B)
@@ -489,10 +532,13 @@ def fsw_embed_multi_table(X: jax.Array,
                           cfg: FSWConfig,
                           bias: Optional[jax.Array] = None,
                           total_mass_scale: Optional[jax.Array] = None,
-                          slice_chunk: Optional[int] = None) -> jax.Array:
+                          slice_chunk: Optional[int] = None,
+                          aggregate: str = 'auto') -> jax.Array:
     """Embed a degree-bucketed `MultiTable`: each degree class runs the
     width-B_c table pipeline, outputs scatter back into recipient order
-    (row-oriented scatter, fast on TPU), then finalize once."""
+    (row-oriented scatter, fast on TPU), then finalize once.  Under
+    aggregate='auto' narrow classes use the fused rank kernel and wide
+    classes the XLA sort path (per-class resolution)."""
     dt = X.dtype
     R = mt.num_recipients
     tail = ((cfg.nSlices, cfg.nFreqs) if cfg.cartesian_mode
@@ -501,7 +547,8 @@ def fsw_embed_multi_table(X: jax.Array,
     w_sum = jnp.zeros((R + 1,), dt)
     for tbl, ids in zip(mt.tables, mt.row_ids):
         raw, ws = fsw_embed_table(X, tbl, projVecs, freqs, cfg,
-                                  slice_chunk=slice_chunk, return_raw=True)
+                                  slice_chunk=slice_chunk, return_raw=True,
+                                  aggregate=aggregate)
         emb = emb.at[ids].set(raw.astype(dt))
         w_sum = w_sum.at[ids].set(ws.astype(dt))
     emb = emb[:R]

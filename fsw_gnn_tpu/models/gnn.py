@@ -36,6 +36,7 @@ class FSWGNN(nn.Module):
     bn_axis_name: Optional[str] = None  # sync BatchNorm stats across this
                                         # mesh axis (set under shard_map)
     slice_chunk: Optional[int] = None   # serialize the slice axis (memory)
+    aggregate: str = 'auto'             # table aggregation backend
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -68,7 +69,8 @@ class FSWGNN(nn.Module):
                 dtype=self.dtype,
                 name=f'conv_{i}')(x_full, graph, train=train,
                                   slice_chunk=self.slice_chunk,
-                                  recipient_features=x_local)
+                                  recipient_features=x_local,
+                                  aggregate=self.aggregate)
             d_in = d_out
         return x_local
 

@@ -67,7 +67,8 @@ class FSWEmbedding(nn.Module):
     @nn.compact
     def __call__(self, X, W=None, *, graph=None, X_edge=None,
                  graph_mode: bool = False, w_mode: str = 'unit',
-                 slice_chunk: Optional[int] = None):
+                 slice_chunk: Optional[int] = None,
+                 aggregate: str = 'auto'):
         cfg = self.cfg
         dt = self.dtype
 
@@ -103,11 +104,13 @@ class FSWEmbedding(nn.Module):
                 return fsw_embed_multi_table(X, graph, proj, freqs, cfg,
                                              bias=bias,
                                              total_mass_scale=tm_scale,
-                                             slice_chunk=slice_chunk)
+                                             slice_chunk=slice_chunk,
+                                             aggregate=aggregate)
             if isinstance(graph, NeighborTable):
                 return fsw_embed_table(X, graph, proj, freqs, cfg, bias=bias,
                                        total_mass_scale=tm_scale,
-                                       slice_chunk=slice_chunk)
+                                       slice_chunk=slice_chunk,
+                                       aggregate=aggregate)
             return fsw_embed_graph(X, graph, proj, freqs, cfg, bias=bias,
                                    total_mass_scale=tm_scale,
                                    slice_chunk=slice_chunk)

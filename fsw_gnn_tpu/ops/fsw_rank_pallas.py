@@ -130,9 +130,12 @@ def _bwd_kernel(p_ref, wn_ref, pad_ref, freq_ref, g_ref,
     # dc = g (1+f) p phi_c
     dc = g1 * P * (-2.0 * TWO_PI) * f * ws * sinc_t * sin_t
 
-    # dpad = sum_{i, s} dc 1[p > 0]
-    dpad_ref[:] = jnp.sum(jnp.where(P > 0, dc, jnp.zeros_like(dc)),
-                          axis=(1, 2))[:, None]
+    # dpad = sum_{i, s} dc 1[p > 0].  Two-stage sum keeps every intermediate
+    # rank >= 2: Mosaic's layout inference crashes on rank-1 reshapes
+    # (VectorLayoutInferer::inferReshape check failure, hit on HW).
+    dpad_ref[:] = jnp.sum(
+        jnp.sum(jnp.where(P > 0, dc, jnp.zeros_like(dc)), axis=2),
+        axis=1, keepdims=True)
 
     # dwn: explicit phi_w term + transposed-mask rank term
     dphi_dw = (2.0 * cos_fw * cos_t +
@@ -142,7 +145,7 @@ def _bwd_kernel(p_ref, wn_ref, pad_ref, freq_ref, g_ref,
     for j in range(P.shape[1]):
         pj = P[:, j:j + 1, :]
         m = _mask(P, pj, pos, j)
-        cols.append(jnp.sum(m * dc, axis=(1, 2))[:, None])
+        cols.append(jnp.sum(jnp.sum(m * dc, axis=2), axis=1, keepdims=True))
     dwn_ref[:] = dwn + jnp.concatenate(cols, axis=1)
 
     # df_s = sum_r g [ q + (1+f) sum_i p phi_f ]
@@ -155,7 +158,7 @@ def _bwd_kernel(p_ref, wn_ref, pad_ref, freq_ref, g_ref,
     df_tile = jnp.sum(
         g_ref[:] * (q + (1.0 + freq_ref[:]) *
                     jnp.sum(P * phi_f, axis=1)),
-        axis=0)[None, :]                             # (1, S)
+        axis=0, keepdims=True)                       # (1, S), no rank-1
 
     i = pl.program_id(0)
 
@@ -169,22 +172,31 @@ def _bwd_kernel(p_ref, wn_ref, pad_ref, freq_ref, g_ref,
 def _pad_args(P, wn, pad_norm, freqs, tile_r, lane=128):
     R, B, S = P.shape
     R_pad = -(-R // tile_r) * tile_r
+    B_pad = -(-B // 8) * 8          # f32 sublane multiple for the (B, S) tile
     S_pad = -(-S // lane) * lane
     if R_pad != R:
         P = jnp.pad(P, ((0, R_pad - R), (0, 0), (0, 0)))
         wn = jnp.pad(wn, ((0, R_pad - R), (0, 0)))
         pad_norm = jnp.pad(pad_norm, (0, R_pad - R))
+    if B_pad != B:
+        # zero-weight entries contribute exactly 0 to ranks, quadrature, and
+        # all gradients (phi(0, c) = 0), so bucket padding is exact
+        P = jnp.pad(P, ((0, 0), (0, B_pad - B), (0, 0)))
+        wn = jnp.pad(wn, ((0, 0), (0, B_pad - B)))
     if S_pad != S:
         P = jnp.pad(P, ((0, 0), (0, 0), (0, S_pad - S)))
         freqs = jnp.pad(freqs, (0, S_pad - S))
     return P, wn, pad_norm.reshape(R_pad, 1), freqs.reshape(1, S_pad)
 
 
-def _pick_tile_r(B, S_pad, budget_bytes=4 * 1024 * 1024):
-    """Largest power-of-two row tile keeping ~8 live (TR, B, S) f32 arrays
-    within the VMEM budget."""
+def _pick_tile_r(B, S_pad, arrays=8, budget_bytes=4 * 1024 * 1024):
+    """Largest power-of-two row tile keeping ~`arrays` live (TR, B, S) f32
+    arrays within the VMEM budget.  TR is the leading (untiled) dim, so any
+    value >= 1 lowers; the backward keeps far more rank-3 temporaries live
+    than the forward (measured ~2x scoped-vmem on HW), hence its larger
+    `arrays`."""
     tr = 256
-    while tr > 8 and tr * B * S_pad * 4 * 8 > budget_bytes:
+    while tr > 4 and tr * B * S_pad * 4 * arrays > budget_bytes:
         tr //= 2
     return tr
 
@@ -243,8 +255,8 @@ def _fsw_bwd(tile_r, interpret, res, g):
     P, wn, pad_norm, freqs = res
     R, B, S = P.shape
     S_pad = -(-S // 128) * 128
-    tr = tile_r or _pick_tile_r(B, S_pad)
-    tr = min(tr, max(8, R))
+    tr = tile_r or _pick_tile_r(B, S_pad, arrays=18)
+    tr = min(tr, max(4, R))
     Pp, wnp, padp, freqp = _pad_args(P, wn, pad_norm, freqs, tr)
     R_pad, S_pad = Pp.shape[0], Pp.shape[2]
     gp = g

@@ -71,6 +71,7 @@ def planetoid(raw_dir: str, name: str, out: str):
     val_mask[n_train:n_train + 500] = True
     test_mask[test_idx] = True
 
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
     np.savez_compressed(out, edge_index=edge_index, features=features,
                         labels=labels, train_mask=train_mask,
                         val_mask=val_mask, test_mask=test_mask)
@@ -101,6 +102,7 @@ def ogb(raw_dir: str, name: str, out: str):
         m = np.zeros(N, bool)
         m[idx] = True
         masks[part] = m
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
     np.savez_compressed(out, edge_index=edge.T, features=feat, labels=label,
                         train_mask=masks['train'], val_mask=masks['valid'],
                         test_mask=masks['test'])

@@ -198,3 +198,57 @@ def test_bfloat16_end_to_end():
     grads = jax.grad(loss)(variables['params'])
     assert all(np.all(np.isfinite(np.asarray(x, np.float32)))
                for x in jax.tree_util.tree_leaves(grads))
+
+
+# ---------------------------------------------------------------------------
+# aggregate='rank' (fused Pallas weighted-rank kernel, interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+def test_rank_aggregate_matches_sort():
+    """fsw_embed_table(aggregate='rank') == aggregate='sort' (f32)."""
+    rng = np.random.default_rng(7)
+    n, d_in = 40, 5
+    cfg = FSWConfig(d_in=d_in, d_out=9, enable_bias=False)
+    proj, freqs = _params(rng, cfg)
+    X = jnp.asarray(rng.standard_normal((n, d_in)), jnp.float32)
+    g = from_edge_index(_random_graph(rng, n), n, dtype=jnp.float32)
+    t = to_neighbor_table(g)
+
+    a = fsw_embed_table(X, t, proj.astype(jnp.float32),
+                        freqs.astype(jnp.float32), cfg, aggregate='sort')
+    b = fsw_embed_table(X, t, proj.astype(jnp.float32),
+                        freqs.astype(jnp.float32), cfg, aggregate='rank')
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_rank_aggregate_multi_table_grads():
+    """MultiTable with aggregate='rank': output + grads match 'sort'."""
+    from fsw_gnn_tpu import fsw_embed_multi_table, to_multi_table
+    rng = np.random.default_rng(8)
+    n, d_in = 48, 4
+    cfg = FSWConfig(d_in=d_in, d_out=6, enable_bias=False)
+    proj, freqs = _params(rng, cfg)
+    proj = proj.astype(jnp.float32)
+    freqs = freqs.astype(jnp.float32)
+    X = jnp.asarray(rng.standard_normal((n, d_in)), jnp.float32)
+    A = rng.random((n, n)) < 0.15
+    A[:, :2] |= rng.random((n, 2)) < 0.6   # heavy-degree rows -> >1 class
+    np.fill_diagonal(A, False)
+    src, dst = np.nonzero(A)
+    g = from_edge_index(np.stack([src, dst]), n, dtype=jnp.float32)
+    mt = to_multi_table(g)
+    assert len(mt.tables) > 1
+
+    def loss(X, proj, freqs, agg):
+        out = fsw_embed_multi_table(X, mt, proj, freqs, cfg, aggregate=agg)
+        return jnp.sum(jnp.sin(out))
+
+    va, ga = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+        X, proj, freqs, 'sort')
+    vb, gb = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+        X, proj, freqs, 'rank')
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-4)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=5e-3, atol=5e-4)
