@@ -34,6 +34,39 @@ TIMED_CALLS = _env_int('FSW_BENCH_CALLS', 3)
 DTYPE = os.environ.get('FSW_BENCH_DTYPE', 'float32')  # float32 | bfloat16
 
 
+# v5e per-chip peaks used for the speed-of-light model (public figures /
+# jax-ml.github.io/scaling-book): HBM ~819 GB/s; VPU f32 ~3.95 Tops
+# (2 cores x 4 ALUs x (8,128) lanes x 0.94 GHz -- upper bound; the
+# effective select/compare mix runs below multiply-add peak).
+HBM_BYTES_PER_S = 819e9
+VPU_OPS_PER_S = 3.95e12
+
+
+def speed_of_light_step(mt, n_slices: int, n_nodes: int, d_in: int):
+    """Analytic floor (seconds) for one fwd+bwd training step of the
+    MultiTable aggregation design (see BENCH.md 'Speed of light').
+
+    Two ceilings, take the binding one:
+    - VPU: the fused rank kernel does ~(6B+25) ops per entry-slice fwd and
+      ~(12B+60) bwd (B-step masked rank loops + quadrature + trig).
+    - HBM: pre-gathered design moves P five times (gather-write, fwd read,
+      bwd read, dP write, scatter read), 4 bytes each.
+    MLP/projection matmuls ride the MXU and are <2% here (not modeled).
+    """
+    ops = 0
+    entries = 0
+    for t in mt.tables:
+        ec = t.idx.shape[0] * t.idx.shape[1]
+        B = t.idx.shape[1]
+        entries += ec
+        ops += ec * n_slices * ((6 * B + 25) + (12 * B + 60))
+    t_vpu = ops / VPU_OPS_PER_S
+    t_hbm = 5 * entries * n_slices * 4 / HBM_BYTES_PER_S
+    return max(t_vpu, t_hbm), {'t_vpu_ms': t_vpu * 1e3,
+                               't_hbm_ms': t_hbm * 1e3,
+                               'table_entries': entries}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -108,12 +141,22 @@ def main():
         if base:
             vs = edges_per_sec / base
 
-    print(json.dumps({
+    out = {
         'metric': 'fsw_conv_fwd_bwd_edges_per_sec',
         'value': round(edges_per_sec, 1),
         'unit': 'edges/s/chip',
         'vs_baseline': round(vs, 4),
-    }))
+    }
+    if layout == 'multi':
+        t_floor, detail = speed_of_light_step(
+            g, 2 * max(D_IN, D_OUT) - 1, N_NODES, D_IN)
+        roofline_eps = E_real / t_floor
+        out['roofline_edges_per_sec'] = round(roofline_eps, 1)
+        out['pct_of_roofline'] = round(100.0 * edges_per_sec / roofline_eps,
+                                       1)
+        out['roofline_detail'] = {k: round(v, 3) if isinstance(v, float)
+                                  else v for k, v in detail.items()}
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

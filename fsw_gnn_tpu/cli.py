@@ -41,6 +41,11 @@ def _add_train_args(p):
                    help='coherence-minimize projection frames at init '
                         '(reference default; slower init)')
     p.add_argument('--checkpoint-dir', default=None)
+    p.add_argument('--no-auto-resume', action='store_true',
+                   help='do not restore the latest checkpoint in '
+                        '--checkpoint-dir before training')
+    p.add_argument('--metrics-path', default=None,
+                   help='append per-epoch metrics to this JSONL file')
     p.add_argument('--trace-dir', default=None)
     p.add_argument('--minibatch', action='store_true',
                    help='neighbor-sampled minibatch training')
@@ -64,6 +69,8 @@ def cmd_train(args) -> int:
         num_devices=args.num_devices, exchange=args.exchange,
         slice_chunk=args.slice_chunk,
         checkpoint_dir=args.checkpoint_dir,
+        auto_resume=not args.no_auto_resume,
+        metrics_path=args.metrics_path,
         trace_dir=args.trace_dir)
 
     if args.minibatch:

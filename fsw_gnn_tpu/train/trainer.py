@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import json
 import os
 import time
 from typing import Any, Callable, Dict, Optional
@@ -55,6 +56,13 @@ class TrainConfig:
     exchange: str = 'all_gather'            # 'all_gather' | 'all_to_all'
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 50
+    auto_resume: bool = True                # fit() restores the latest
+                                            # checkpoint in checkpoint_dir
+                                            # and continues (failure
+                                            # recovery for preempted runs)
+    metrics_path: Optional[str] = None      # append per-epoch metrics as
+                                            # JSON lines (structured export
+                                            # for external observability)
     trace_dir: Optional[str] = None         # jax.profiler trace output
 
 
@@ -203,6 +211,9 @@ class Trainer:
     def save_checkpoint(self):
         if self._ckpt_mgr is None:
             return
+        if self._ckpt_mgr.latest_step() == self.step_count:
+            return  # this step is already on disk (e.g. final save right
+                    # after a periodic one)
         import orbax.checkpoint as ocp
         self._ckpt_mgr.save(
             self.step_count,
@@ -230,13 +241,27 @@ class Trainer:
         return step
 
     # ------------------------------------------------------------------
+    def _export_metrics(self, rec):
+        if not self.cfg.metrics_path:
+            return
+        with open(self.cfg.metrics_path, 'a') as f:
+            f.write(json.dumps(rec) + '\n')
+
     def fit(self, verbose: bool = False) -> Dict[str, Any]:
         cfg = self.cfg
         best_val, best_metrics, strikes = -1.0, None, 0
+        start_epoch = 1
+        if (cfg.auto_resume and self._ckpt_mgr is not None
+                and self._ckpt_mgr.latest_step() is not None):
+            # failure recovery: continue a preempted run from its latest
+            # checkpoint (one optimizer step per epoch, so step == epoch)
+            start_epoch = self.restore_checkpoint() + 1
+            if verbose:
+                print(f'resumed from checkpoint at epoch {start_epoch - 1}')
         if cfg.trace_dir:
             jax.profiler.start_trace(cfg.trace_dir)
         t0 = time.perf_counter()
-        for epoch in range(1, cfg.epochs + 1):
+        for epoch in range(start_epoch, cfg.epochs + 1):
             loss = self.train_epoch()
             rec = {'epoch': epoch, 'loss': loss}
             if epoch % cfg.eval_every == 0 or epoch == cfg.epochs:
@@ -253,11 +278,15 @@ class Trainer:
                 if cfg.patience and strikes >= cfg.patience:
                     break
             self.history.append(rec)
+            self._export_metrics(rec)
             if self._ckpt_mgr and epoch % cfg.checkpoint_every == 0:
                 self.save_checkpoint()
         elapsed = time.perf_counter() - t0
         if cfg.trace_dir:
             jax.profiler.stop_trace()
+        if self._ckpt_mgr is not None:
+            self.save_checkpoint()
         final = self.evaluate()
+        self._export_metrics({'final': final, 'seconds': elapsed})
         return {'final': final, 'best': best_metrics, 'seconds': elapsed,
                 'epochs_run': len(self.history)}

@@ -56,3 +56,44 @@ def test_single_vs_distributed_losses_match(data):
     l1 = [tr1.train_epoch() for _ in range(3)]
     l8 = [tr8.train_epoch() for _ in range(3)]
     np.testing.assert_allclose(l1, l8, rtol=5e-3)
+
+
+def test_auto_resume_continues_preempted_run(data, tmp_path):
+    """fit() restores the latest checkpoint and trains only the remaining
+    epochs; the resumed run reaches the same state as an uninterrupted one
+    (same per-epoch rng derivation: one optimizer step per epoch)."""
+    ckpt = str(tmp_path / 'ckpt_resume')
+    cfg = dict(hidden_dims=(8,), epochs=6, eval_every=3,
+               checkpoint_dir=ckpt, checkpoint_every=3, dropout=0.0)
+
+    # "preempted" run: killed after epoch 3's checkpoint
+    tr1 = Trainer(data, TrainConfig(**{**cfg, 'epochs': 3}))
+    tr1.fit()
+    assert tr1.step_count == 3
+
+    # resume into the full 6-epoch schedule
+    tr2 = Trainer(data, TrainConfig(**cfg))
+    out = tr2.fit()
+    assert out['epochs_run'] == 3          # only epochs 4..6 ran
+    assert tr2.step_count == 6
+    assert tr2.history[0]['epoch'] == 4
+
+    # a third fit() call is a no-op (already complete)
+    tr3 = Trainer(data, TrainConfig(**cfg))
+    out3 = tr3.fit()
+    assert out3['epochs_run'] == 0
+
+
+def test_metrics_jsonl_export(data, tmp_path):
+    import json
+    path = str(tmp_path / 'metrics.jsonl')
+    tr = Trainer(data, TrainConfig(hidden_dims=(8,), epochs=4, eval_every=2,
+                                   metrics_path=path))
+    tr.fit()
+    with open(path) as f:
+        lines = [json.loads(l) for l in f]
+    epochs = [l['epoch'] for l in lines if 'epoch' in l]
+    assert epochs == [1, 2, 3, 4]
+    assert all('loss' in l for l in lines if 'epoch' in l)
+    assert 'val_acc' in lines[1]           # eval_every=2
+    assert 'final' in lines[-1]
