@@ -45,7 +45,12 @@ def main():
         return out, gbps
 
     out_x, _ = timed(lambda v, s: segment_cumsum(v, s), 'xla_cumsum_minus_base')
-    out_p, _ = timed(lambda v, s: segcumsum_pallas(v, s), 'pallas_segscan')
+    rows_list = [int(r) for r in
+                 os.environ.get('FSW_SEGBENCH_ROWS', '64').split(',')]
+    out_p = None
+    for rows in rows_list:
+        out_p, _ = timed(lambda v, s, r=rows: segcumsum_pallas(
+            v, s, rows_per_block=r), f'pallas_segscan_rows{rows}')
     err = float(jnp.max(jnp.abs(out_x - out_p)) /
                 (1e-6 + float(jnp.max(jnp.abs(out_p)))))
     print(json.dumps({'max_rel_disagreement': err}))

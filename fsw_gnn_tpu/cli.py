@@ -95,17 +95,56 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Checkpoint -> serialized StableHLO serving artifact."""
+    import jax
+
+    from .data.datasets import load
+    from .serving import export_forward, save_artifact
+    from .train import TrainConfig, Trainer
+
+    data = load(args.dataset)
+    cfg = TrainConfig(hidden_dims=tuple(args.hidden),
+                      embed_dim=args.embed_dim, mlp_layers=args.mlp_layers,
+                      seed=args.seed, checkpoint_dir=args.checkpoint_dir,
+                      slice_chunk=args.slice_chunk)
+    tr = Trainer(data, cfg)
+    step = tr.restore_checkpoint()
+    variables = {'params': tr.params, **tr.batch_stats, **tr.fixed}
+    blob = export_forward(
+        tr.model, variables,
+        jax.ShapeDtypeStruct(tr.X.shape, tr.X.dtype), tr.compute_graph,
+        platform=args.platform)
+    save_artifact(args.out, blob)
+    print(json.dumps({'artifact': args.out, 'bytes': len(blob),
+                      'checkpoint_step': step}))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog='fsw_gnn_tpu')
     sub = parser.add_subparsers(dest='cmd', required=True)
     pt = sub.add_parser('train', help='train an FSW-GNN node classifier')
     _add_train_args(pt)
     sub.add_parser('bench', help='run the headline benchmark')
+    pe = sub.add_parser('export', help='checkpoint -> StableHLO artifact')
+    pe.add_argument('--dataset', default='cora')
+    pe.add_argument('--hidden', type=int, nargs='+', default=[64])
+    pe.add_argument('--embed-dim', type=int, default=None)
+    pe.add_argument('--mlp-layers', type=int, default=1)
+    pe.add_argument('--slice-chunk', type=int, default=None)
+    pe.add_argument('--seed', type=int, default=0)
+    pe.add_argument('--checkpoint-dir', required=True)
+    pe.add_argument('--platform', default=None,
+                    help="lowering platform ('tpu'/'cpu'); default current")
+    pe.add_argument('--out', required=True)
     args = parser.parse_args(argv)
     if args.cmd == 'train':
         return cmd_train(args)
     if args.cmd == 'bench':
         return cmd_bench(args)
+    if args.cmd == 'export':
+        return cmd_export(args)
     return 1
 
 

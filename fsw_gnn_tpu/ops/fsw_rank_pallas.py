@@ -55,11 +55,14 @@ from jax.experimental.pallas import tpu as pltpu
 TWO_PI = 2.0 * jnp.pi
 
 
-def _mask(P, pj, pos, j):
-    """M_ij as float: 1[p_j < p_i or (p_j == p_i and j <= i)]."""
+def _masked(P, pj, pos, j, val):
+    """where(M_ij, val, 0) with M_ij = 1[p_j < p_i or (p_j == p_i and
+    j <= i)].  Folding the payload into the select (instead of forming the
+    0/1 mask and multiplying) saves one VPU multiply per element per loop
+    step -- the loop body is the kernel's op-count floor."""
     cond = jnp.logical_or(
         pj < P, jnp.logical_and(pj == P, pos >= j))
-    return jnp.where(cond, jnp.ones_like(P), jnp.zeros_like(P))
+    return jnp.where(cond, val, jnp.zeros_like(P))
 
 
 def _rank_c(P, wn, pos):
@@ -68,8 +71,11 @@ def _rank_c(P, wn, pos):
     c = jnp.zeros(P.shape, P.dtype)
     for j in range(B):
         pj = P[:, j:j + 1, :]                        # (TR, 1, S) static slice
-        wj = wn[:, j:j + 1]                          # (TR, 1)
-        c = c + wj[:, :, None] * _mask(P, pj, pos, j)
+        # NOTE: two-step indexing, NOT wn[:, j:j+1, None] -- mixing a slice
+        # with None takes jnp's advanced-indexing path and emits a GATHER,
+        # which Mosaic's lowering rejects (hit on HW)
+        wj = wn[:, j:j + 1][:, :, None]              # (TR, 1, 1)
+        c = c + _masked(P, pj, pos, j, wj)
     return c
 
 
@@ -144,8 +150,8 @@ def _bwd_kernel(p_ref, wn_ref, pad_ref, freq_ref, g_ref,
     cols = []
     for j in range(P.shape[1]):
         pj = P[:, j:j + 1, :]
-        m = _mask(P, pj, pos, j)
-        cols.append(jnp.sum(jnp.sum(m * dc, axis=2), axis=1, keepdims=True))
+        md = _masked(P, pj, pos, j, dc)
+        cols.append(jnp.sum(jnp.sum(md, axis=2), axis=1, keepdims=True))
     dwn_ref[:] = dwn + jnp.concatenate(cols, axis=1)
 
     # df_s = sum_r g [ q + (1+f) sum_i p phi_f ]

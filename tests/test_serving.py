@@ -30,3 +30,71 @@ def test_export_roundtrip(tmp_path):
     fwd = load_forward(p.read_bytes())
     got = np.asarray(fwd(X))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def _random_graph(rng, n, p=0.2):
+    A = rng.random((n, n)) < p
+    np.fill_diagonal(A, False)
+    src, dst = np.nonzero(A)
+    return np.stack([src, dst]).astype(np.int64)
+
+
+def test_graph_server_one_compile_many_graphs():
+    """Differently-sized request graphs share one compiled executable and
+    match the unpadded forward exactly."""
+    from fsw_gnn_tpu.serving import GraphServer
+    rng = np.random.default_rng(3)
+    d_in, d_out = 5, 3
+    model = FSWGNN(in_channels=d_in, hidden_dims=(6, d_out),
+                   minimize_slice_coherence=False)
+    n0 = 20
+    ei0 = _random_graph(rng, n0)
+    X0 = rng.standard_normal((n0, d_in)).astype(np.float32)
+    g0 = from_edge_index(ei0, n0)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X0), g0)
+
+    srv = GraphServer(model, variables, max_nodes=64, max_edges=1024)
+    for seed, n in [(1, 20), (2, 33), (3, 7), (4, 64)]:
+        r = np.random.default_rng(seed)
+        ei = _random_graph(r, n)
+        X = r.standard_normal((n, d_in)).astype(np.float32)
+        got = srv.predict(ei, X)
+        want = np.asarray(model.apply(variables, jnp.asarray(X),
+                                      from_edge_index(ei, n)))
+        assert got.shape == (n, d_out)
+        np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-5)
+    assert srv.num_compiles() == 1
+
+    # envelope enforcement
+    big = _random_graph(np.random.default_rng(9), 80)
+    Xbig = np.zeros((80, d_in), np.float32)
+    try:
+        srv.predict(big, Xbig)
+        assert False, 'expected ValueError'
+    except ValueError:
+        pass
+
+
+def test_export_from_checkpoint(tmp_path):
+    """Checkpoint directory -> artifact -> same logits as the live model."""
+    from fsw_gnn_tpu.data import synthetic_planted_partition
+    from fsw_gnn_tpu.train import TrainConfig, Trainer
+    from fsw_gnn_tpu.serving import export_from_checkpoint, load_forward
+
+    data = synthetic_planted_partition(num_nodes=120, num_classes=3,
+                                       feat_dim=8, p_in=0.1, p_out=0.01)
+    ckpt = str(tmp_path / 'ckpt')
+    tr = Trainer(data, TrainConfig(hidden_dims=(8,), epochs=3, eval_every=3,
+                                   checkpoint_dir=ckpt))
+    tr.fit()
+    want = tr.predict()
+
+    X_spec = jax.ShapeDtypeStruct(tr.X.shape, tr.X.dtype)
+    blob = export_from_checkpoint(
+        ckpt, tr.model,
+        {'params': tr.params, 'opt_state': tr.opt_state,
+         'batch_stats': tr.batch_stats, 'fixed': tr.fixed},
+        X_spec, tr.compute_graph)
+    fwd = load_forward(blob)
+    np.testing.assert_allclose(np.asarray(fwd(tr.X)), want,
+                               rtol=1e-5, atol=1e-6)
