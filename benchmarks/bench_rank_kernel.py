@@ -23,6 +23,8 @@ B = int(os.environ.get('BRK_B', 32))
 S = int(os.environ.get('BRK_S', 128))
 STEPS = int(os.environ.get('BRK_STEPS', 20))
 CALLS = int(os.environ.get('BRK_CALLS', 3))
+TILE = os.environ.get('BRK_TILE')
+TILE = int(TILE) if TILE else None
 
 
 def main():
@@ -51,7 +53,7 @@ def main():
         return (1.0 + freqs) * jnp.sum(ps * sd, axis=2)
 
     def krn_fwd(P, wn, pad, freqs):
-        return fsw_rank_aggregate(P, wn, pad, freqs, None, False)
+        return fsw_rank_aggregate(P, wn, pad, freqs, TILE, False)
 
     def make_loop(fn, grad):
         if grad:
