@@ -56,24 +56,34 @@ def main():
         return fsw_rank_aggregate(P, wn, pad, freqs, TILE, False)
 
     def make_loop(fn, grad):
+        # all arrays enter as jit ARGUMENTS: a closed-over P would be baked
+        # into the serialized module as a constant (128 MB at B=32, 256 MB
+        # at B=64 -- the remote-compile service rejects bodies that big
+        # with HTTP 413)
         if grad:
             def loss(P, wn, pad, freqs):
                 return jnp.sum(fn(P, wn, pad, freqs) * V)
             gfn = jax.grad(loss, argnums=(0, 1, 2, 3))
 
-            def body(carry, _):
-                dP, dwn, dpad, df = gfn(P + carry * 1e-30, wn, pad, freqs)
-                return jnp.sum(dP[0, 0, :1]) + jnp.sum(df[:1]), None
+            @jax.jit
+            def run(P, wn, pad, freqs):
+                def body(carry, _):
+                    dP, dwn, dpad, df = gfn(P + carry * 1e-30, wn, pad,
+                                            freqs)
+                    return jnp.sum(dP[0, 0, :1]) + jnp.sum(df[:1]), None
+                c, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                    length=STEPS)
+                return c
         else:
-            def body(carry, _):
-                out = fn(P + carry * 1e-30, wn, pad, freqs)
-                return jnp.sum(out[0, :1]), None
-
-        @jax.jit
-        def run():
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=STEPS)
-            return c
-        return run
+            @jax.jit
+            def run(P, wn, pad, freqs):
+                def body(carry, _):
+                    out = fn(P + carry * 1e-30, wn, pad, freqs)
+                    return jnp.sum(out[0, :1]), None
+                c, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                    length=STEPS)
+                return c
+        return lambda: run(P, wn, pad, freqs)
 
     # on-device parity first (reuses the fwd compiles)
     t0 = time.time()

@@ -33,18 +33,32 @@ def main():
     s = jnp.asarray(ids)
 
     def timed(fn, name):
-        f = jax.jit(fn)
-        out = jax.block_until_ready(f(v, s))          # compile
+        # steps loop INSIDE one jit with a data dependency: repeated
+        # identical calls are served from a cache by the remote-execution
+        # layer (observed "4353 GB/s", 5x over HBM peak), so per-call
+        # timing lies
+        @jax.jit
+        def run(v, s):
+            def body(carry, _):
+                out = fn(v + carry * jnp.float32(1e-30), s)
+                return jnp.sum(out[:1]), None
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
+            return c
+        jax.block_until_ready(run(v, s))              # compile
         t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = jax.block_until_ready(f(v, s))
+        jax.block_until_ready(run(v, s))
         dt = (time.perf_counter() - t0) / ITERS
         gbps = 3 * 4 * N / dt / 1e9
         print(json.dumps({'kernel': name, 'n': N, 'ms': round(dt * 1e3, 3),
                           'GB_s': round(gbps, 1)}))
-        return out, gbps
+        return jax.jit(fn)(v, s), gbps
 
-    out_x, _ = timed(lambda v, s: segment_cumsum(v, s), 'xla_cumsum_minus_base')
+    # method='global' IS cumsum-minus-base (the label); the default
+    # 'restart' associative_scan takes pathologically long to compile at
+    # 16M elements through the remote-compile tunnel (observed >65 min,
+    # never finished)
+    out_x, _ = timed(lambda v, s: segment_cumsum(v, s, method='global'),
+                     'xla_cumsum_minus_base')
     rows_list = [int(r) for r in
                  os.environ.get('FSW_SEGBENCH_ROWS', '64').split(',')]
     out_p = None

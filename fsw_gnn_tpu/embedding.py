@@ -48,13 +48,11 @@ from .ops.segment import (rows_gather, segment_cumsum,
 
 # Bucket-width bound for the fused rank kernel under aggregate='auto'.  The
 # kernel's weighted-rank pass is O(B^2) per entry (ops/fsw_rank_pallas.py),
-# so it wins only for narrow degree classes; wide classes stay on the
-# O(B log^2 B) XLA sort path.  Capped at 32: the op-count crossover is >=64,
-# but the statically-unrolled B-loop at B=64 lowers to an MLIR payload this
-# environment's remote-compile service rejects (HTTP 413), and the measured
-# alternatives (fori_loop + dynamic ref slices: Mosaic 128-alignment errors;
-# incremental-roll shifts: 2.3x slower) lose.
-RANK_AGGREGATE_MAX_BUCKET = 32
+# so it wins only up to a width crossover vs the O(B log^2 B) XLA sort
+# path.  Measured on v5e (fwd+bwd, vs sort): B=32 1.59x, B=64 1.13x,
+# B=128 0.73x -> cap 64.  (Forward-only the kernel still wins at 128,
+# 1.77x, but the resolution can't know whether a backward will follow.)
+RANK_AGGREGATE_MAX_BUCKET = 64
 
 
 def _resolve_aggregate(aggregate: str, cfg, bucket_size: int) -> str:

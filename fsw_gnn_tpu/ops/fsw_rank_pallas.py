@@ -102,6 +102,16 @@ def _trig(ws, c, f):
     return sinc_t, cos_t, sin_t, cos_fw
 
 
+# The B-step loops are PYTHON-UNROLLED with static middle-axis slices
+# P[:, j:j+1, :].  Measured alternatives all lose (BENCH.md ablation):
+# fori_loop + dynamic ref slices fails Mosaic alignment checks on tiled
+# dims; fori_loop + a transposed second input indexed on its untiled
+# leading dim compiles but runs 2.4-2.6x slower; incremental-roll shifts
+# 2.3x slower.  Module size is NOT a concern: an earlier HTTP 413 from the
+# remote-compile service was traced to benchmark arrays baked in as
+# constants, not to the unrolled code (B=128 unrolled compiles fine).
+
+
 def _common(p_ref, wn_ref, pad_ref, freq_ref):
     P = p_ref[:]                                     # (TR, B, S)
     wn = wn_ref[:]                                   # (TR, B)
@@ -125,10 +135,12 @@ def _fwd_kernel(p_ref, wn_ref, pad_ref, freq_ref, out_ref):
 def _bwd_kernel(p_ref, wn_ref, pad_ref, freq_ref, g_ref,
                 dp_ref, dwn_ref, dpad_ref, df_ref):
     P, wn, ws, c, f, pos = _common(p_ref, wn_ref, pad_ref, freq_ref)
+    g = g_ref[:]
+    freq = freq_ref[:]
     sinc_t, cos_t, sin_t, cos_fw = _trig(ws, c, f)
     sd = 2.0 * ws * sinc_t * cos_t                   # phi
 
-    g1 = ((1.0 + freq_ref[:]) * g_ref[:])[:, None, :]  # g*(1+f), (TR, 1, S)
+    g1 = ((1.0 + freq) * g)[:, None, :]              # g*(1+f), (TR, 1, S)
 
     # dp: direct quadrature term
     dp_ref[:] = g1 * sd
@@ -162,8 +174,7 @@ def _bwd_kernel(p_ref, wn_ref, pad_ref, freq_ref, g_ref,
         - jnp.pi * (2.0 * c - ws) * sinc_t * sin_t)
     q = jnp.sum(P * sd, axis=1)                      # (TR, S)
     df_tile = jnp.sum(
-        g_ref[:] * (q + (1.0 + freq_ref[:]) *
-                    jnp.sum(P * phi_f, axis=1)),
+        g * (q + (1.0 + freq) * jnp.sum(P * phi_f, axis=1)),
         axis=0, keepdims=True)                       # (1, S), no rank-1
 
     i = pl.program_id(0)
@@ -195,14 +206,32 @@ def _pad_args(P, wn, pad_norm, freqs, tile_r, lane=128):
     return P, wn, pad_norm.reshape(R_pad, 1), freqs.reshape(1, S_pad)
 
 
+# Scoped-VMEM ceiling handed to Mosaic (default is 16 MB; v5e has 128 MB
+# VMEM total).  The backward's unrolled mask loop keeps ~100 live
+# (TR, B, S) temporaries on the kernel stack (measured: 26.8 MB at
+# tr=16/B=32, 17.8 MB at tr=8/B=64), so wide buckets need the higher
+# ceiling; 96 MB leaves room for the streamed in/out blocks.
+VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+
+
 def _pick_tile_r(B, S_pad, arrays=8, budget_bytes=4 * 1024 * 1024):
     """Largest power-of-two row tile keeping ~`arrays` live (TR, B, S) f32
-    arrays within the VMEM budget.  TR is the leading (untiled) dim, so any
-    value >= 1 lowers; the backward keeps far more rank-3 temporaries live
-    than the forward (measured ~2x scoped-vmem on HW), hence its larger
-    `arrays`."""
+    arrays within the VMEM budget.  TR is the leading (untiled) dim.
+    Floor 8: tr is also the sublane dim of the rank-2 (tr, B) blocks,
+    which Mosaic requires divisible by 8 (HW error at tr=4)."""
     tr = 256
-    while tr > 4 and tr * B * S_pad * 4 * arrays > budget_bytes:
+    while tr > 8 and tr * B * S_pad * 4 * arrays > budget_bytes:
+        tr //= 2
+    return tr
+
+
+def _pick_tile_bwd(B, S_pad):
+    """Backward row tile: the measured scoped-VMEM model is ~105 live
+    (TR, B, S_pad) f32 arrays; keep the stack under ~70% of
+    VMEM_LIMIT_BYTES."""
+    budget = int(0.7 * VMEM_LIMIT_BYTES)
+    tr = 64
+    while tr > 8 and tr * B * S_pad * 4 * 105 > budget:
         tr //= 2
     return tr
 
@@ -224,29 +253,39 @@ def fsw_rank_aggregate(P, wn, pad_norm, freqs,
     return _fwd_call(P, wn, pad_norm, freqs, tile_r, interpret)
 
 
+def _block_specs(tr, B_pad, S_pad):
+    """Input BlockSpecs for (P, wn, pad, freqs)."""
+    return [
+        pl.BlockSpec((tr, B_pad, S_pad), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, B_pad), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, S_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+
+
 def _fwd_call(P, wn, pad_norm, freqs, tile_r, interpret):
     R, B, S = P.shape
     S_pad = -(-S // 128) * 128
     tr = tile_r or _pick_tile_r(B, S_pad)
     tr = min(tr, max(8, R))
     Pp, wnp, padp, freqp = _pad_args(P, wn, pad_norm, freqs, tr)
-    R_pad, S_pad = Pp.shape[0], Pp.shape[2]
+    R_pad, B_pad, S_pad = Pp.shape
     out = pl.pallas_call(
         _fwd_kernel,
         grid=(R_pad // tr,),
-        in_specs=[
-            pl.BlockSpec((tr, B, S_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, B), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=_block_specs(tr, B_pad, S_pad),
         out_specs=pl.BlockSpec((tr, S_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R_pad, S_pad), P.dtype),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(Pp, wnp, padp, freqp)
     return out[:R, :S]
@@ -261,32 +300,24 @@ def _fsw_bwd(tile_r, interpret, res, g):
     P, wn, pad_norm, freqs = res
     R, B, S = P.shape
     S_pad = -(-S // 128) * 128
-    tr = tile_r or _pick_tile_r(B, S_pad, arrays=18)
-    tr = min(tr, max(4, R))
+    tr = tile_r or _pick_tile_bwd(B, S_pad)
+    tr = min(tr, max(8, R))
     Pp, wnp, padp, freqp = _pad_args(P, wn, pad_norm, freqs, tr)
-    R_pad, S_pad = Pp.shape[0], Pp.shape[2]
+    R_pad, B_pad, S_pad = Pp.shape
     gp = g
     if (R_pad, S_pad) != (R, S):
         gp = jnp.pad(g, ((0, R_pad - R), (0, S_pad - S)))
+    in_specs = _block_specs(tr, B_pad, S_pad)
+    in_specs.append(pl.BlockSpec((tr, S_pad), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
     dp, dwn, dpad, df = pl.pallas_call(
         _bwd_kernel,
         grid=(R_pad // tr,),
-        in_specs=[
-            pl.BlockSpec((tr, B, S_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, B), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, S_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((tr, B, S_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((tr, B_pad, S_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, B), lambda i: (i, 0),
+            pl.BlockSpec((tr, B_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -296,14 +327,15 @@ def _fsw_bwd(tile_r, interpret, res, g):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((R_pad, B, S_pad), P.dtype),
-            jax.ShapeDtypeStruct((R_pad, B), P.dtype),
+            jax.ShapeDtypeStruct((R_pad, B_pad, S_pad), P.dtype),
+            jax.ShapeDtypeStruct((R_pad, B_pad), P.dtype),
             jax.ShapeDtypeStruct((R_pad, 1), P.dtype),
             jax.ShapeDtypeStruct((1, S_pad), P.dtype),
         ),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(Pp, wnp, padp, freqp, gp)
-    return dp[:R, :, :S], dwn[:R], dpad[:R, 0], df[0, :S]
+    return dp[:R, :B, :S], dwn[:R, :B], dpad[:R, 0], df[0, :S]
 
 
 fsw_rank_aggregate.defvjp(_fsw_fwd, _fsw_bwd)

@@ -46,6 +46,13 @@ def segment_cumsum(values: jax.Array, segment_ids: jax.Array,
     the absolute error grows like eps * global_prefix (~0.1 at 131k edges /
     8k segments -- measured, see BENCH.md); only use where that is
     acceptable (f64, or small edge counts).
+
+    Compile-scale caveat (measured): 'restart' compiles fine at the CSR
+    path's sizes (~100k-1M elements) but the associative_scan's lowering
+    takes pathologically long at ~16M elements (never finished through
+    this environment's remote-compile service); at that scale use
+    `segcumsum_pallas` (same restart-exact numerics, one kernel) or
+    method='global'.
     """
     if method == 'restart':
         # boundary flags straight from the (sorted) ids -- no scatter

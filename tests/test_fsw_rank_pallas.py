@@ -86,3 +86,31 @@ def test_zero_weight_padding_contributes_zero():
     out2 = fsw_rank_aggregate(P2, wn, pad, freqs, None, True)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize('B', [48, 64])
+@pytest.mark.parametrize('ties', [False, True])
+def test_wide_bucket_fwd_bwd(B, ties):
+    """Wide buckets (B > 32, incl. non-power-of-two needing sublane pad):
+    outputs and all gradients must match the XLA reference exactly."""
+    rng = np.random.default_rng(4)
+    R, S = 6, 9
+    P, wn, pad, freqs = _rand_args(rng, R, B, S, ties)
+    V = jnp.asarray(rng.standard_normal((R, S)))
+
+    got = fsw_rank_aggregate(P, wn, pad, freqs, None, True)
+    want = _xla_ref(P, wn, pad, freqs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-10, atol=1e-12)
+
+    def loss_kernel(P, wn, pad, freqs):
+        return jnp.sum(fsw_rank_aggregate(P, wn, pad, freqs, None, True) * V)
+
+    def loss_xla(P, wn, pad, freqs):
+        return jnp.sum(_xla_ref(P, wn, pad, freqs) * V)
+
+    g_k = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(P, wn, pad, freqs)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(P, wn, pad, freqs)
+    for a, b, name in zip(g_k, g_x, ['dP', 'dwn', 'dpad', 'dfreqs']):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-10, err_msg=name)
