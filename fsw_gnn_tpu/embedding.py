@@ -463,8 +463,37 @@ def fsw_embed_table(X: jax.Array,
     pad_norm = lowclamp(cfg.total_mass_pad_thresh - w_sum, 0.0) / w_sum_padded
     wn = w / w_sum_padded[:, None]                                 # (R, B)
 
+    # Fused-projection rank kernel: when the feature width D = d_in+d_edge
+    # is below the (per-chunk) slice width, gather RAW sender rows (T, D)
+    # and project on the MXU inside the kernel -- the XLA-side gather and
+    # the backward scatter-add then move (T, D) instead of (T, S), the
+    # round-2 step's main non-kernel cost (measured: headline step 9.76 ->
+    # 7.77 ms).  Z is built once, hoisted out of the slice-chunk loop.
+    d_eff = cfg.d_in + cfg.d_edge
+    s_eff = cfg.nSlices if slice_chunk is None else min(slice_chunk,
+                                                        cfg.nSlices)
+    use_proj = (agg == 'rank' and not cfg.cartesian_mode and d_eff < s_eff)
+    if use_proj:
+        f32 = jnp.float32
+        Xr = jnp.take(X, table.idx.reshape(-1), axis=0)
+        Xr = Xr.reshape(table.idx.shape + (cfg.d_in,))             # (R, B, D)
+        if cfg.d_edge > 0:
+            assert table.edge_feat is not None
+            Xr = jnp.concatenate(
+                [Xr, table.edge_feat.astype(Xr.dtype)], axis=-1)
+        Z32 = Xr.astype(f32)
+
     def slices_block(proj_block, f_block):
         """proj_block: (S_blk, d_in+d_edge) slice vectors; f_block freqs."""
+        if use_proj:
+            from .ops.fsw_rank_pallas import fsw_rank_aggregate_proj
+            out = fsw_rank_aggregate_proj(
+                Z32, wn.astype(jnp.float32), pad_norm.astype(jnp.float32),
+                f_block.astype(jnp.float32),
+                proj_block.T.astype(jnp.float32), None,
+                jax.default_backend() == 'cpu')
+            return out.astype(dt)                                  # (R, S)
+
         Xp = X @ proj_block[:, :cfg.d_in].T                        # (N, S_blk)
         P = jnp.take(Xp, table.idx.reshape(-1), axis=0)
         P = P.reshape(table.idx.shape + (Xp.shape[1],))            # (R, B, S)

@@ -339,3 +339,245 @@ def _fsw_bwd(tile_r, interpret, res, g):
 
 
 fsw_rank_aggregate.defvjp(_fsw_fwd, _fsw_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused-projection variant: the kernel takes gathered sender FEATURE rows
+# Z (R, B, D) plus the projection matrix V (D, S) and computes the
+# per-entry projections P = Z @ V on the MXU inside VMEM.  When D < S this
+# halves the HBM traffic of the XLA-side gather (write (T, D) instead of
+# (T, S)) and of the backward (dZ (T, D) written + scatter-added instead of
+# dP (T, S)); the matmuls are MXU-cheap (T*D*S MACs ~ 0.2 ms at the
+# headline scale vs the multi-ms gather/scatter they remove).  dV is
+# accumulated in-kernel across the (consecutive) recipient grid steps, like
+# df.  Probe results (benchmarks/probe_kernel_matmul.py, on HW): rank-3 x
+# rank-2 dot_general and leading-dims collapse reshapes lower fine; only
+# the rank-3 x rank-3 double contraction does not (hence the reshape
+# formulation for dV).
+# ---------------------------------------------------------------------------
+
+
+def _project(z_ref, v_ref):
+    Z = z_ref[:]
+    return jax.lax.dot_general(
+        Z, v_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=Z.dtype)
+
+
+def _fwdp_kernel(z_ref, wn_ref, pad_ref, freq_ref, v_ref, out_ref):
+    P = _project(z_ref, v_ref)                       # (TR, B, S) via MXU
+    wn = wn_ref[:]
+    TR, B, S = P.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (TR, B, S), 1)
+    c = _rank_c(P, wn, pos)
+    pad_b = jnp.broadcast_to(pad_ref[:][:, None, :], c.shape)
+    c = c + jnp.where(P > 0, pad_b, jnp.zeros_like(c))
+    ws = jnp.broadcast_to(wn[:, :, None], (TR, B, S))
+    f = freq_ref[:][None, :, :]
+    sinc_t, cos_t, _, _ = _trig(ws, c, f)
+    sd = 2.0 * ws * sinc_t * cos_t
+    out_ref[:] = (1.0 + freq_ref[:]) * jnp.sum(P * sd, axis=1)
+
+
+def _bwdp_kernel(z_ref, wn_ref, pad_ref, freq_ref, v_ref, g_ref,
+                 dz_ref, dwn_ref, dpad_ref, df_ref, dv_ref):
+    Z = z_ref[:]                                     # (TR, B, D)
+    V = v_ref[:]                                     # (D, S)
+    P = jax.lax.dot_general(Z, V, (((2,), (0,)), ((), ())),
+                            preferred_element_type=Z.dtype)
+    wn = wn_ref[:]
+    TR, B, S = P.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (TR, B, S), 1)
+    c = _rank_c(P, wn, pos)
+    pad_b = jnp.broadcast_to(pad_ref[:][:, None, :], c.shape)
+    c = c + jnp.where(P > 0, pad_b, jnp.zeros_like(c))
+    ws = jnp.broadcast_to(wn[:, :, None], (TR, B, S))
+    f = freq_ref[:][None, :, :]
+    g = g_ref[:]
+    freq = freq_ref[:]
+    sinc_t, cos_t, sin_t, cos_fw = _trig(ws, c, f)
+    sd = 2.0 * ws * sinc_t * cos_t                   # phi
+
+    g1 = ((1.0 + freq) * g)[:, None, :]              # (TR, 1, S)
+
+    dp = g1 * sd                                     # stays in VMEM
+    dc = g1 * P * (-2.0 * TWO_PI) * f * ws * sinc_t * sin_t
+
+    dpad_ref[:] = jnp.sum(
+        jnp.sum(jnp.where(P > 0, dc, jnp.zeros_like(dc)), axis=2),
+        axis=1, keepdims=True)
+
+    dphi_dw = (2.0 * cos_fw * cos_t +
+               TWO_PI * f * ws * sinc_t * sin_t)
+    dwn = jnp.sum(g1 * P * dphi_dw, axis=2)          # (TR, B)
+    cols = []
+    for j in range(B):
+        pj = P[:, j:j + 1, :]
+        md = _masked(P, pj, pos, j, dc)
+        cols.append(jnp.sum(jnp.sum(md, axis=2), axis=1, keepdims=True))
+    dwn_ref[:] = dwn + jnp.concatenate(cols, axis=1)
+
+    fsafe = jnp.where(f == 0.0, jnp.ones_like(f), f)
+    phi_f = 2.0 * ws * (
+        jnp.where(f == 0.0, jnp.zeros_like(f), (cos_fw - sinc_t) / fsafe)
+        * cos_t
+        - jnp.pi * (2.0 * c - ws) * sinc_t * sin_t)
+    q = jnp.sum(P * sd, axis=1)                      # (TR, S)
+    df_tile = jnp.sum(
+        g * (q + (1.0 + freq) * jnp.sum(P * phi_f, axis=1)),
+        axis=0, keepdims=True)
+
+    # dZ = dP . V^T  (MXU); dV = Z^T . dP collapsed over (TR, B), MXU via
+    # leading-dims reshape (the rank-3 x rank-3 contraction doesn't lower)
+    dz_ref[:] = jax.lax.dot_general(
+        dp, V, (((2,), (1,)), ((), ())),
+        preferred_element_type=Z.dtype)
+    D = Z.shape[2]
+    dv_tile = jax.lax.dot_general(
+        Z.reshape(TR * B, D), dp.reshape(TR * B, S),
+        (((0,), (0,)), ((), ())), preferred_element_type=Z.dtype)
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        df_ref[:] = jnp.zeros_like(df_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    df_ref[:] += df_tile
+    dv_ref[:] += dv_tile
+
+
+def _pad_proj_args(Z, wn, pad_norm, freqs, V, tile_r):
+    R, B, D = Z.shape
+    S = V.shape[1]
+    R_pad = -(-R // tile_r) * tile_r
+    B_pad = -(-B // 8) * 8
+    S_pad = -(-S // 128) * 128
+    D_pad = -(-D // 8) * 8        # sublane multiple for V's leading dim
+    if R_pad != R:
+        Z = jnp.pad(Z, ((0, R_pad - R), (0, 0), (0, 0)))
+        wn = jnp.pad(wn, ((0, R_pad - R), (0, 0)))
+        pad_norm = jnp.pad(pad_norm, (0, R_pad - R))
+    if B_pad != B:
+        Z = jnp.pad(Z, ((0, 0), (0, B_pad - B), (0, 0)))
+        wn = jnp.pad(wn, ((0, 0), (0, B_pad - B)))
+    if D_pad != D:
+        Z = jnp.pad(Z, ((0, 0), (0, 0), (0, D_pad - D)))
+        V = jnp.pad(V, ((0, D_pad - D), (0, 0)))
+    if S_pad != S:
+        V = jnp.pad(V, ((0, 0), (0, S_pad - S)))
+        freqs = jnp.pad(freqs, (0, S_pad - S))
+    return (Z, wn, pad_norm.reshape(R_pad, 1), freqs.reshape(1, S_pad), V)
+
+
+def _proj_block_specs(tr, B_pad, D_pad, S_pad):
+    return [
+        pl.BlockSpec((tr, B_pad, D_pad), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, B_pad), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, S_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((D_pad, S_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fsw_rank_aggregate_proj(Z, wn, pad_norm, freqs, V,
+                            tile_r: int | None = None,
+                            interpret: bool = False):
+    """Fused FSW aggregation with in-kernel projection.
+
+    Z (R, B, D): gathered sender feature rows (columns may include edge
+    features -- concatenate them and stack V accordingly); V (D, S): slice
+    projection matrix (P = Z @ V computed on the MXU in VMEM); wn (R, B)
+    normalized weights; pad_norm (R,); freqs (S,).  Returns (R, S) as
+    `fsw_rank_aggregate`.  Wins over the unfused kernel when D < S: the
+    XLA-side gather and the backward scatter-add move (T, D) arrays
+    instead of (T, S).
+
+    Differentiable in Z, wn, pad_norm, freqs, V.
+    """
+    return _fwdp_call(Z, wn, pad_norm, freqs, V, tile_r, interpret)
+
+
+def _fwdp_call(Z, wn, pad_norm, freqs, V, tile_r, interpret):
+    R, B, D = Z.shape
+    S = V.shape[1]
+    S_pad = -(-S // 128) * 128
+    tr = tile_r or _pick_tile_r(B, S_pad)
+    tr = min(tr, max(8, R))
+    Zp, wnp, padp, freqp, Vp = _pad_proj_args(Z, wn, pad_norm, freqs, V,
+                                              tr)
+    R_pad, B_pad, D_pad = Zp.shape
+    S_pad = Vp.shape[1]
+    out = pl.pallas_call(
+        _fwdp_kernel,
+        grid=(R_pad // tr,),
+        in_specs=_proj_block_specs(tr, B_pad, D_pad, S_pad),
+        out_specs=pl.BlockSpec((tr, S_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R_pad, S_pad), Z.dtype),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(Zp, wnp, padp, freqp, Vp)
+    return out[:R, :S]
+
+
+def _fswp_fwd(Z, wn, pad_norm, freqs, V, tile_r, interpret):
+    out = _fwdp_call(Z, wn, pad_norm, freqs, V, tile_r, interpret)
+    return out, (Z, wn, pad_norm, freqs, V)
+
+
+def _fswp_bwd(tile_r, interpret, res, g):
+    Z, wn, pad_norm, freqs, V = res
+    R, B, D = Z.shape
+    S = V.shape[1]
+    S_pad = -(-S // 128) * 128
+    tr = tile_r or _pick_tile_bwd(B, S_pad)
+    tr = min(tr, max(8, R))
+    Zp, wnp, padp, freqp, Vp = _pad_proj_args(Z, wn, pad_norm, freqs, V,
+                                              tr)
+    R_pad, B_pad, D_pad = Zp.shape
+    S_pad = Vp.shape[1]
+    gp = g
+    if (R_pad, S_pad) != (R, S):
+        gp = jnp.pad(g, ((0, R_pad - R), (0, S_pad - S)))
+    in_specs = _proj_block_specs(tr, B_pad, D_pad, S_pad)
+    in_specs.append(pl.BlockSpec((tr, S_pad), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    dz, dwn, dpad, df, dv = pl.pallas_call(
+        _bwdp_kernel,
+        grid=(R_pad // tr,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((tr, B_pad, D_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, B_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_pad, S_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R_pad, B_pad, D_pad), Z.dtype),
+            jax.ShapeDtypeStruct((R_pad, B_pad), wn.dtype),
+            jax.ShapeDtypeStruct((R_pad, 1), pad_norm.dtype),
+            jax.ShapeDtypeStruct((1, S_pad), freqs.dtype),
+            jax.ShapeDtypeStruct((D_pad, S_pad), V.dtype),
+        ),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(Zp, wnp, padp, freqp, Vp, gp)
+    return (dz[:R, :B, :D], dwn[:R, :B], dpad[:R, 0],
+            df[0, :S], dv[:D, :S])
+
+
+fsw_rank_aggregate_proj.defvjp(_fswp_fwd, _fswp_bwd)

@@ -114,3 +114,89 @@ def test_wide_bucket_fwd_bwd(B, ties):
     for a, b, name in zip(g_k, g_x, ['dP', 'dwn', 'dpad', 'dfreqs']):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-8, atol=1e-10, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# Fused-projection variant: in-kernel P = Z @ V on the MXU
+# ---------------------------------------------------------------------------
+
+from fsw_gnn_tpu.ops.fsw_rank_pallas import fsw_rank_aggregate_proj
+
+
+def _rand_proj_args(rng, R, B, D, S, ties=False):
+    Z = rng.standard_normal((R, B, D))
+    if ties:
+        # identical sender rows -> exactly tied projections in every slice
+        Z[:, 1::2, :] = Z[:, 0::2, :]
+    V = rng.standard_normal((D, S))
+    w = np.abs(rng.standard_normal((R, B))) * (rng.random((R, B)) < 0.8)
+    w_sum = w.sum(1)
+    w_sum_pad = np.maximum(w_sum, 1.0)
+    wn = w / w_sum_pad[:, None]
+    pad = np.maximum(1.0 - w_sum, 0.0) / w_sum_pad
+    freqs = np.abs(rng.standard_normal(S)) + 0.1
+    return (jnp.asarray(Z), jnp.asarray(wn), jnp.asarray(pad),
+            jnp.asarray(freqs), jnp.asarray(V))
+
+
+@pytest.mark.parametrize('R,B,D,S', [(5, 8, 4, 6), (9, 16, 64, 130),
+                                     (3, 32, 7, 128)])
+@pytest.mark.parametrize('ties', [False, True])
+def test_proj_forward_matches_xla(R, B, D, S, ties):
+    rng = np.random.default_rng(5)
+    Z, wn, pad, freqs, V = _rand_proj_args(rng, R, B, D, S, ties)
+    got = fsw_rank_aggregate_proj(Z, wn, pad, freqs, V, None, True)
+    want = _xla_ref(jnp.einsum('rbd,ds->rbs', Z, V), wn, pad, freqs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.parametrize('ties', [False, True])
+def test_proj_backward_matches_xla(ties):
+    rng = np.random.default_rng(6)
+    R, B, D, S = 7, 16, 12, 20
+    Z, wn, pad, freqs, V = _rand_proj_args(rng, R, B, D, S, ties)
+    G = jnp.asarray(rng.standard_normal((R, S)))
+
+    def loss_kernel(Z, wn, pad, freqs, V):
+        return jnp.sum(
+            fsw_rank_aggregate_proj(Z, wn, pad, freqs, V, None, True) * G)
+
+    def loss_xla(Z, wn, pad, freqs, V):
+        P = jnp.einsum('rbd,ds->rbs', Z, V)
+        return jnp.sum(_xla_ref(P, wn, pad, freqs) * G)
+
+    g_k = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(Z, wn, pad,
+                                                         freqs, V)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(Z, wn, pad, freqs, V)
+    for a, b, name in zip(g_k, g_x, ['dZ', 'dwn', 'dpad', 'dfreqs', 'dV']):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-9, err_msg=name)
+
+
+def test_proj_matches_unfused_composition():
+    """take-rows + fused-projection == gather-projections + unfused kernel,
+    including the gather's scatter-add adjoint into dX."""
+    rng = np.random.default_rng(7)
+    N, R, B, D, S = 23, 6, 8, 5, 10
+    X = jnp.asarray(rng.standard_normal((N, D)))
+    idx = jnp.asarray(rng.integers(0, N, (R, B)))
+    _, wn, pad, freqs, V = _rand_proj_args(rng, R, B, D, S)
+
+    def loss_fused(X, V):
+        Z = jnp.take(X, idx.reshape(-1), axis=0).reshape(R, B, D)
+        return jnp.sum(
+            fsw_rank_aggregate_proj(Z, wn, pad, freqs, V, None, True) ** 2)
+
+    def loss_unfused(X, V):
+        Xp = X @ V
+        P = jnp.take(Xp, idx.reshape(-1), axis=0).reshape(R, B, S)
+        return jnp.sum(fsw_rank_aggregate(P, wn, pad, freqs, None, True) ** 2)
+
+    np.testing.assert_allclose(float(loss_fused(X, V)),
+                               float(loss_unfused(X, V)), rtol=1e-9)
+    gf = jax.grad(loss_fused, argnums=(0, 1))(X, V)
+    gu = jax.grad(loss_unfused, argnums=(0, 1))(X, V)
+    for a, b, name in zip(gf, gu, ['dX', 'dV']):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-9, err_msg=name)
