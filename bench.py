@@ -48,9 +48,13 @@ def speed_of_light_step(mt, n_slices: int, n_nodes: int, d_in: int):
 
     Two ceilings, take the binding one:
     - VPU: the fused rank kernel does ~(6B+25) ops per entry-slice fwd and
-      ~(12B+60) bwd (B-step masked rank loops + quadrature + trig).
-    - HBM: pre-gathered design moves P five times (gather-write, fwd read,
-      bwd read, dP write, scatter read), 4 bytes each.
+      ~(6B+60) bwd: ONE B-step masked rank loop each way, quadrature +
+      trig.  (The conv path declares graph weights non-differentiated --
+      weights_grad=False -- so the backward's second, transposed-mask loop
+      for dwn/dpad is skipped; with it the bwd term would be 12B+60.)
+    - HBM: the fused-projection design gathers raw rows Z (T, D) and
+      scatter-adds dZ (T, D) (D = d_in here), and streams P-sized arrays
+      through kernel IO twice; model: 2 passes of (T, D) + 2 of (T, S).
     MLP/projection matmuls ride the MXU and are <2% here (not modeled).
     """
     ops = 0
@@ -59,9 +63,9 @@ def speed_of_light_step(mt, n_slices: int, n_nodes: int, d_in: int):
         ec = t.idx.shape[0] * t.idx.shape[1]
         B = t.idx.shape[1]
         entries += ec
-        ops += ec * n_slices * ((6 * B + 25) + (12 * B + 60))
+        ops += ec * n_slices * ((6 * B + 25) + (6 * B + 60))
     t_vpu = ops / VPU_OPS_PER_S
-    t_hbm = 5 * entries * n_slices * 4 / HBM_BYTES_PER_S
+    t_hbm = (2 * entries * (d_in + n_slices)) * 4 / HBM_BYTES_PER_S
     return max(t_vpu, t_hbm), {'t_vpu_ms': t_vpu * 1e3,
                                't_hbm_ms': t_hbm * 1e3,
                                'table_entries': entries}

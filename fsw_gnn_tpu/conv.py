@@ -227,10 +227,13 @@ class FSWConv(nn.Module):
         mlp_hidden = (self.mlp_hidden_dim if self.mlp_hidden_dim is not None
                       else max(self.in_channels, self.out_channels))
 
+        # weights_grad=False: the adjacency weights come from edge_index
+        # (unit / gcn / self-loop values) -- data, never parameters -- so
+        # the rank kernel can skip their cotangent loop
         emb = FSWEmbedding(self._embed_cfg(), dtype=self.dtype,
                            name='fsw_embed')(
             vertex_features, graph=graph, slice_chunk=slice_chunk,
-            aggregate=aggregate)
+            aggregate=aggregate, weights_grad=False)
 
         if self.concat_self:
             self_feats = (vertex_features if recipient_features is None
@@ -275,10 +278,13 @@ class FSWReadout(FSWConv):
         assert self.edgefeat_dim == 0, (
             'edgefeat_dim must be 0 in a global readout layer')
 
+        # weights_grad=False: the adjacency weights come from edge_index
+        # (unit / gcn / self-loop values) -- data, never parameters -- so
+        # the rank kernel can skip their cotangent loop
         emb = FSWEmbedding(self._embed_cfg(), dtype=self.dtype,
                            name='fsw_embed')(
             vertex_features, graph=graph, slice_chunk=slice_chunk,
-            aggregate=aggregate)
+            aggregate=aggregate, weights_grad=False)
 
         # NOTE: the reference readout reuses FSW_conv.forward's tail but has
         # no per-recipient self features (recipients are graph-level nodes),

@@ -444,7 +444,8 @@ def fsw_embed_table(X: jax.Array,
                     total_mass_scale: Optional[jax.Array] = None,
                     slice_chunk: Optional[int] = None,
                     return_raw: bool = False,
-                    aggregate: str = 'auto') -> jax.Array:
+                    aggregate: str = 'auto',
+                    weights_grad: bool = True) -> jax.Array:
     """Embed neighborhoods given as a dense `NeighborTable`.
 
     X: (num_nodes, d_in).  Returns (num_recipients, d_out) (or
@@ -452,7 +453,10 @@ def fsw_embed_table(X: jax.Array,
     With return_raw=True, returns (emb_before_finalize, w_sum) -- used by
     the degree-bucketed MultiTable assembler.
     `aggregate` selects the per-neighborhood aggregation backend
-    (see `_resolve_aggregate`).
+    (see `_resolve_aggregate`).  `weights_grad=False` declares the table
+    weights non-differentiated data (the GNN adjacency case): the rank
+    kernel then skips the dwn/dpad transposed-mask loop -- about half its
+    backward cost -- and returns zero weight cotangents.
     """
     w = table.weight                                               # (R, B)
     dt = X.dtype
@@ -491,7 +495,7 @@ def fsw_embed_table(X: jax.Array,
                 Z32, wn.astype(jnp.float32), pad_norm.astype(jnp.float32),
                 f_block.astype(jnp.float32),
                 proj_block.T.astype(jnp.float32), None,
-                jax.default_backend() == 'cpu')
+                jax.default_backend() == 'cpu', weights_grad)
             return out.astype(dt)                                  # (R, S)
 
         Xp = X @ proj_block[:, :cfg.d_in].T                        # (N, S_blk)
@@ -509,7 +513,7 @@ def fsw_embed_table(X: jax.Array,
             out = fsw_rank_aggregate(
                 P.astype(f32), wn.astype(f32), pad_norm.astype(f32),
                 f_block.astype(f32), None,
-                jax.default_backend() == 'cpu')
+                jax.default_backend() == 'cpu', weights_grad)
             return out.astype(P.dtype)                             # (R, S)
 
         # sort neighborhoods along the bucket axis per slice
@@ -564,7 +568,8 @@ def fsw_embed_multi_table(X: jax.Array,
                           bias: Optional[jax.Array] = None,
                           total_mass_scale: Optional[jax.Array] = None,
                           slice_chunk: Optional[int] = None,
-                          aggregate: str = 'auto') -> jax.Array:
+                          aggregate: str = 'auto',
+                          weights_grad: bool = True) -> jax.Array:
     """Embed a degree-bucketed `MultiTable`: each degree class runs the
     width-B_c table pipeline, outputs scatter back into recipient order
     (row-oriented scatter, fast on TPU), then finalize once.  Under
@@ -579,7 +584,8 @@ def fsw_embed_multi_table(X: jax.Array,
     for tbl, ids in zip(mt.tables, mt.row_ids):
         raw, ws = fsw_embed_table(X, tbl, projVecs, freqs, cfg,
                                   slice_chunk=slice_chunk, return_raw=True,
-                                  aggregate=aggregate)
+                                  aggregate=aggregate,
+                                  weights_grad=weights_grad)
         emb = emb.at[ids].set(raw.astype(dt))
         w_sum = w_sum.at[ids].set(ws.astype(dt))
     emb = emb[:R]

@@ -68,7 +68,7 @@ class FSWEmbedding(nn.Module):
     def __call__(self, X, W=None, *, graph=None, X_edge=None,
                  graph_mode: bool = False, w_mode: str = 'unit',
                  slice_chunk: Optional[int] = None,
-                 aggregate: str = 'auto'):
+                 aggregate: str = 'auto', weights_grad: bool = True):
         cfg = self.cfg
         dt = self.dtype
 
@@ -105,12 +105,14 @@ class FSWEmbedding(nn.Module):
                                              bias=bias,
                                              total_mass_scale=tm_scale,
                                              slice_chunk=slice_chunk,
-                                             aggregate=aggregate)
+                                             aggregate=aggregate,
+                                             weights_grad=weights_grad)
             if isinstance(graph, NeighborTable):
                 return fsw_embed_table(X, graph, proj, freqs, cfg, bias=bias,
                                        total_mass_scale=tm_scale,
                                        slice_chunk=slice_chunk,
-                                       aggregate=aggregate)
+                                       aggregate=aggregate,
+                                       weights_grad=weights_grad)
             return fsw_embed_graph(X, graph, proj, freqs, cfg, bias=bias,
                                    total_mass_scale=tm_scale,
                                    slice_chunk=slice_chunk)

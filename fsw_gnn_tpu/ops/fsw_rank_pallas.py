@@ -132,8 +132,15 @@ def _fwd_kernel(p_ref, wn_ref, pad_ref, freq_ref, out_ref):
     out_ref[:] = (1.0 + freq_ref[:]) * jnp.sum(P * sd, axis=1)
 
 
-def _bwd_kernel(p_ref, wn_ref, pad_ref, freq_ref, g_ref,
-                dp_ref, dwn_ref, dpad_ref, df_ref):
+def _bwd_kernel(with_dw, p_ref, wn_ref, pad_ref, freq_ref, g_ref,
+                *out_refs):
+    if with_dw:
+        dp_ref, dwn_ref, dpad_ref, df_ref = out_refs
+    else:
+        # weights are non-differentiated data (the GNN adjacency case):
+        # skip the transposed-mask loop and the dpad sum -- about half the
+        # backward kernel's mask-loop cost
+        dp_ref, df_ref = out_refs
     P, wn, ws, c, f, pos = _common(p_ref, wn_ref, pad_ref, freq_ref)
     g = g_ref[:]
     freq = freq_ref[:]
@@ -148,23 +155,25 @@ def _bwd_kernel(p_ref, wn_ref, pad_ref, freq_ref, g_ref,
     # dc = g (1+f) p phi_c
     dc = g1 * P * (-2.0 * TWO_PI) * f * ws * sinc_t * sin_t
 
-    # dpad = sum_{i, s} dc 1[p > 0].  Two-stage sum keeps every intermediate
-    # rank >= 2: Mosaic's layout inference crashes on rank-1 reshapes
-    # (VectorLayoutInferer::inferReshape check failure, hit on HW).
-    dpad_ref[:] = jnp.sum(
-        jnp.sum(jnp.where(P > 0, dc, jnp.zeros_like(dc)), axis=2),
-        axis=1, keepdims=True)
+    if with_dw:
+        # dpad = sum_{i, s} dc 1[p > 0].  Two-stage sum keeps every
+        # intermediate rank >= 2: Mosaic's layout inference crashes on
+        # rank-1 reshapes (VectorLayoutInferer::inferReshape, hit on HW).
+        dpad_ref[:] = jnp.sum(
+            jnp.sum(jnp.where(P > 0, dc, jnp.zeros_like(dc)), axis=2),
+            axis=1, keepdims=True)
 
-    # dwn: explicit phi_w term + transposed-mask rank term
-    dphi_dw = (2.0 * cos_fw * cos_t +
-               TWO_PI * f * ws * sinc_t * sin_t)
-    dwn = jnp.sum(g1 * P * dphi_dw, axis=2)          # (TR, B)
-    cols = []
-    for j in range(P.shape[1]):
-        pj = P[:, j:j + 1, :]
-        md = _masked(P, pj, pos, j, dc)
-        cols.append(jnp.sum(jnp.sum(md, axis=2), axis=1, keepdims=True))
-    dwn_ref[:] = dwn + jnp.concatenate(cols, axis=1)
+        # dwn: explicit phi_w term + transposed-mask rank term
+        dphi_dw = (2.0 * cos_fw * cos_t +
+                   TWO_PI * f * ws * sinc_t * sin_t)
+        dwn = jnp.sum(g1 * P * dphi_dw, axis=2)      # (TR, B)
+        cols = []
+        for j in range(P.shape[1]):
+            pj = P[:, j:j + 1, :]
+            md = _masked(P, pj, pos, j, dc)
+            cols.append(jnp.sum(jnp.sum(md, axis=2), axis=1,
+                                keepdims=True))
+        dwn_ref[:] = dwn + jnp.concatenate(cols, axis=1)
 
     # df_s = sum_r g [ q + (1+f) sum_i p phi_f ]
     fsafe = jnp.where(f == 0.0, jnp.ones_like(f), f)
@@ -236,10 +245,11 @@ def _pick_tile_bwd(B, S_pad):
     return tr
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fsw_rank_aggregate(P, wn, pad_norm, freqs,
                        tile_r: int | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       with_dw: bool = True):
     """Fused FSW aggregation over a dense neighbor-table class.
 
     P (R, B, S): per-entry projections (gathered sender rows + optional edge
@@ -249,6 +259,10 @@ def fsw_rank_aggregate(P, wn, pad_norm, freqs,
     (1 + f) factor, BEFORE total-mass finalization (which stays in XLA).
 
     Differentiable in P, wn, pad_norm, freqs (analytic fused backward).
+    with_dw=False returns ZERO cotangents for wn and pad_norm and skips
+    their (transposed-mask-loop) computation -- use only when the weights
+    are non-differentiated data, e.g. a GNN adjacency built from
+    edge_index.
     """
     return _fwd_call(P, wn, pad_norm, freqs, tile_r, interpret)
 
@@ -291,12 +305,12 @@ def _fwd_call(P, wn, pad_norm, freqs, tile_r, interpret):
     return out[:R, :S]
 
 
-def _fsw_fwd(P, wn, pad_norm, freqs, tile_r, interpret):
+def _fsw_fwd(P, wn, pad_norm, freqs, tile_r, interpret, with_dw):
     out = _fwd_call(P, wn, pad_norm, freqs, tile_r, interpret)
     return out, (P, wn, pad_norm, freqs)
 
 
-def _fsw_bwd(tile_r, interpret, res, g):
+def _fsw_bwd(tile_r, interpret, with_dw, res, g):
     P, wn, pad_norm, freqs = res
     R, B, S = P.shape
     S_pad = -(-S // 128) * 128
@@ -310,32 +324,43 @@ def _fsw_bwd(tile_r, interpret, res, g):
     in_specs = _block_specs(tr, B_pad, S_pad)
     in_specs.append(pl.BlockSpec((tr, S_pad), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM))
-    dp, dwn, dpad, df = pl.pallas_call(
-        _bwd_kernel,
+    dp_spec = pl.BlockSpec((tr, B_pad, S_pad), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dwn_spec = pl.BlockSpec((tr, B_pad), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    dpad_spec = pl.BlockSpec((tr, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    # df accumulates across the (consecutive) R grid steps; the kernel
+    # zero-initializes at i == 0
+    df_spec = pl.BlockSpec((1, S_pad), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    dp_shape = jax.ShapeDtypeStruct((R_pad, B_pad, S_pad), P.dtype)
+    dwn_shape = jax.ShapeDtypeStruct((R_pad, B_pad), P.dtype)
+    dpad_shape = jax.ShapeDtypeStruct((R_pad, 1), P.dtype)
+    df_shape = jax.ShapeDtypeStruct((1, S_pad), P.dtype)
+    kern = functools.partial(_bwd_kernel, with_dw)
+    if with_dw:
+        dp, dwn, dpad, df = pl.pallas_call(
+            kern,
+            grid=(R_pad // tr,),
+            in_specs=in_specs,
+            out_specs=(dp_spec, dwn_spec, dpad_spec, df_spec),
+            out_shape=(dp_shape, dwn_shape, dpad_shape, df_shape),
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(Pp, wnp, padp, freqp, gp)
+        return dp[:R, :B, :S], dwn[:R, :B], dpad[:R, 0], df[0, :S]
+    dp, df = pl.pallas_call(
+        kern,
         grid=(R_pad // tr,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((tr, B_pad, S_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, B_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            # df accumulates across the (consecutive) R grid steps; the
-            # kernel zero-initializes at i == 0
-            pl.BlockSpec((1, S_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((R_pad, B_pad, S_pad), P.dtype),
-            jax.ShapeDtypeStruct((R_pad, B_pad), P.dtype),
-            jax.ShapeDtypeStruct((R_pad, 1), P.dtype),
-            jax.ShapeDtypeStruct((1, S_pad), P.dtype),
-        ),
+        out_specs=(dp_spec, df_spec),
+        out_shape=(dp_shape, df_shape),
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(Pp, wnp, padp, freqp, gp)
-    return dp[:R, :B, :S], dwn[:R, :B], dpad[:R, 0], df[0, :S]
+    return (dp[:R, :B, :S], jnp.zeros_like(wn),
+            jnp.zeros_like(pad_norm), df[0, :S])
 
 
 fsw_rank_aggregate.defvjp(_fsw_fwd, _fsw_bwd)
@@ -379,8 +404,12 @@ def _fwdp_kernel(z_ref, wn_ref, pad_ref, freq_ref, v_ref, out_ref):
     out_ref[:] = (1.0 + freq_ref[:]) * jnp.sum(P * sd, axis=1)
 
 
-def _bwdp_kernel(z_ref, wn_ref, pad_ref, freq_ref, v_ref, g_ref,
-                 dz_ref, dwn_ref, dpad_ref, df_ref, dv_ref):
+def _bwdp_kernel(with_dw, z_ref, wn_ref, pad_ref, freq_ref, v_ref, g_ref,
+                 *out_refs):
+    if with_dw:
+        dz_ref, dwn_ref, dpad_ref, df_ref, dv_ref = out_refs
+    else:
+        dz_ref, df_ref, dv_ref = out_refs
     Z = z_ref[:]                                     # (TR, B, D)
     V = v_ref[:]                                     # (D, S)
     P = jax.lax.dot_general(Z, V, (((2,), (0,)), ((), ())),
@@ -403,19 +432,21 @@ def _bwdp_kernel(z_ref, wn_ref, pad_ref, freq_ref, v_ref, g_ref,
     dp = g1 * sd                                     # stays in VMEM
     dc = g1 * P * (-2.0 * TWO_PI) * f * ws * sinc_t * sin_t
 
-    dpad_ref[:] = jnp.sum(
-        jnp.sum(jnp.where(P > 0, dc, jnp.zeros_like(dc)), axis=2),
-        axis=1, keepdims=True)
+    if with_dw:
+        dpad_ref[:] = jnp.sum(
+            jnp.sum(jnp.where(P > 0, dc, jnp.zeros_like(dc)), axis=2),
+            axis=1, keepdims=True)
 
-    dphi_dw = (2.0 * cos_fw * cos_t +
-               TWO_PI * f * ws * sinc_t * sin_t)
-    dwn = jnp.sum(g1 * P * dphi_dw, axis=2)          # (TR, B)
-    cols = []
-    for j in range(B):
-        pj = P[:, j:j + 1, :]
-        md = _masked(P, pj, pos, j, dc)
-        cols.append(jnp.sum(jnp.sum(md, axis=2), axis=1, keepdims=True))
-    dwn_ref[:] = dwn + jnp.concatenate(cols, axis=1)
+        dphi_dw = (2.0 * cos_fw * cos_t +
+                   TWO_PI * f * ws * sinc_t * sin_t)
+        dwn = jnp.sum(g1 * P * dphi_dw, axis=2)      # (TR, B)
+        cols = []
+        for j in range(B):
+            pj = P[:, j:j + 1, :]
+            md = _masked(P, pj, pos, j, dc)
+            cols.append(jnp.sum(jnp.sum(md, axis=2), axis=1,
+                                keepdims=True))
+        dwn_ref[:] = dwn + jnp.concatenate(cols, axis=1)
 
     fsafe = jnp.where(f == 0.0, jnp.ones_like(f), f)
     phi_f = 2.0 * ws * (
@@ -486,10 +517,11 @@ def _proj_block_specs(tr, B_pad, D_pad, S_pad):
     ]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def fsw_rank_aggregate_proj(Z, wn, pad_norm, freqs, V,
                             tile_r: int | None = None,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            with_dw: bool = True):
     """Fused FSW aggregation with in-kernel projection.
 
     Z (R, B, D): gathered sender feature rows (columns may include edge
@@ -500,7 +532,9 @@ def fsw_rank_aggregate_proj(Z, wn, pad_norm, freqs, V,
     XLA-side gather and the backward scatter-add move (T, D) arrays
     instead of (T, S).
 
-    Differentiable in Z, wn, pad_norm, freqs, V.
+    Differentiable in Z, wn, pad_norm, freqs, V.  with_dw=False returns
+    ZERO cotangents for wn and pad_norm and skips their computation (see
+    `fsw_rank_aggregate`).
     """
     return _fwdp_call(Z, wn, pad_norm, freqs, V, tile_r, interpret)
 
@@ -528,12 +562,12 @@ def _fwdp_call(Z, wn, pad_norm, freqs, V, tile_r, interpret):
     return out[:R, :S]
 
 
-def _fswp_fwd(Z, wn, pad_norm, freqs, V, tile_r, interpret):
+def _fswp_fwd(Z, wn, pad_norm, freqs, V, tile_r, interpret, with_dw):
     out = _fwdp_call(Z, wn, pad_norm, freqs, V, tile_r, interpret)
     return out, (Z, wn, pad_norm, freqs, V)
 
 
-def _fswp_bwd(tile_r, interpret, res, g):
+def _fswp_bwd(tile_r, interpret, with_dw, res, g):
     Z, wn, pad_norm, freqs, V = res
     R, B, D = Z.shape
     S = V.shape[1]
@@ -550,33 +584,45 @@ def _fswp_bwd(tile_r, interpret, res, g):
     in_specs = _proj_block_specs(tr, B_pad, D_pad, S_pad)
     in_specs.append(pl.BlockSpec((tr, S_pad), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM))
-    dz, dwn, dpad, df, dv = pl.pallas_call(
-        _bwdp_kernel,
+    dz_spec = pl.BlockSpec((tr, B_pad, D_pad), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dwn_spec = pl.BlockSpec((tr, B_pad), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    dpad_spec = pl.BlockSpec((tr, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    df_spec = pl.BlockSpec((1, S_pad), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    dv_spec = pl.BlockSpec((D_pad, S_pad), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    dz_shape = jax.ShapeDtypeStruct((R_pad, B_pad, D_pad), Z.dtype)
+    dwn_shape = jax.ShapeDtypeStruct((R_pad, B_pad), wn.dtype)
+    dpad_shape = jax.ShapeDtypeStruct((R_pad, 1), pad_norm.dtype)
+    df_shape = jax.ShapeDtypeStruct((1, S_pad), freqs.dtype)
+    dv_shape = jax.ShapeDtypeStruct((D_pad, S_pad), V.dtype)
+    kern = functools.partial(_bwdp_kernel, with_dw)
+    if with_dw:
+        dz, dwn, dpad, df, dv = pl.pallas_call(
+            kern,
+            grid=(R_pad // tr,),
+            in_specs=in_specs,
+            out_specs=(dz_spec, dwn_spec, dpad_spec, df_spec, dv_spec),
+            out_shape=(dz_shape, dwn_shape, dpad_shape, df_shape,
+                       dv_shape),
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(Zp, wnp, padp, freqp, Vp, gp)
+        return (dz[:R, :B, :D], dwn[:R, :B], dpad[:R, 0],
+                df[0, :S], dv[:D, :S])
+    dz, df, dv = pl.pallas_call(
+        kern,
         grid=(R_pad // tr,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((tr, B_pad, D_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, B_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D_pad, S_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((R_pad, B_pad, D_pad), Z.dtype),
-            jax.ShapeDtypeStruct((R_pad, B_pad), wn.dtype),
-            jax.ShapeDtypeStruct((R_pad, 1), pad_norm.dtype),
-            jax.ShapeDtypeStruct((1, S_pad), freqs.dtype),
-            jax.ShapeDtypeStruct((D_pad, S_pad), V.dtype),
-        ),
+        out_specs=(dz_spec, df_spec, dv_spec),
+        out_shape=(dz_shape, df_shape, dv_shape),
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(Zp, wnp, padp, freqp, Vp, gp)
-    return (dz[:R, :B, :D], dwn[:R, :B], dpad[:R, 0],
+    return (dz[:R, :B, :D], jnp.zeros_like(wn), jnp.zeros_like(pad_norm),
             df[0, :S], dv[:D, :S])
 
 

@@ -200,3 +200,41 @@ def test_proj_matches_unfused_composition():
     for a, b, name in zip(gf, gu, ['dX', 'dV']):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-7, atol=1e-9, err_msg=name)
+
+
+@pytest.mark.parametrize('proj', [False, True])
+def test_with_dw_false_skips_weight_cotangents(proj):
+    """with_dw=False: dP/dZ, dfreqs (and dV) identical; dwn, dpad zero."""
+    rng = np.random.default_rng(8)
+    R, B, D, S = 6, 16, 5, 10
+    Z, wn, pad, freqs, V = _rand_proj_args(rng, R, B, D, S)
+    G = jnp.asarray(rng.standard_normal((R, S)))
+
+    if proj:
+        def loss(with_dw):
+            def f(Z, wn, pad, freqs, V):
+                return jnp.sum(fsw_rank_aggregate_proj(
+                    Z, wn, pad, freqs, V, None, True, with_dw) * G)
+            return jax.grad(f, argnums=(0, 1, 2, 3, 4))(Z, wn, pad,
+                                                        freqs, V)
+        names = ['dZ', 'dwn', 'dpad', 'dfreqs', 'dV']
+        zero_idx = (1, 2)
+    else:
+        P = jnp.einsum('rbd,ds->rbs', Z, V)
+
+        def loss(with_dw):
+            def f(P, wn, pad, freqs):
+                return jnp.sum(fsw_rank_aggregate(
+                    P, wn, pad, freqs, None, True, with_dw) * G)
+            return jax.grad(f, argnums=(0, 1, 2, 3))(P, wn, pad, freqs)
+        names = ['dP', 'dwn', 'dpad', 'dfreqs']
+        zero_idx = (1, 2)
+
+    g_on = loss(True)
+    g_off = loss(False)
+    for i, (a, b, name) in enumerate(zip(g_on, g_off, names)):
+        if i in zero_idx:
+            assert float(jnp.max(jnp.abs(b))) == 0.0, name
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12, atol=0, err_msg=name)
