@@ -25,6 +25,9 @@ STEPS = int(os.environ.get('BRK_STEPS', 20))
 CALLS = int(os.environ.get('BRK_CALLS', 3))
 TILE = os.environ.get('BRK_TILE')
 TILE = int(TILE) if TILE else None
+# BRK_DW=0: grads only wrt (P, freqs), kernel with with_dw=False -- the
+# GNN-adjacency case FSWConv uses in production
+WITH_DW = os.environ.get('BRK_DW', '1') != '0'
 
 
 def main():
@@ -53,7 +56,7 @@ def main():
         return (1.0 + freqs) * jnp.sum(ps * sd, axis=2)
 
     def krn_fwd(P, wn, pad, freqs):
-        return fsw_rank_aggregate(P, wn, pad, freqs, TILE, False)
+        return fsw_rank_aggregate(P, wn, pad, freqs, TILE, False, WITH_DW)
 
     def make_loop(fn, grad):
         # all arrays enter as jit ARGUMENTS: a closed-over P would be baked
@@ -63,13 +66,14 @@ def main():
         if grad:
             def loss(P, wn, pad, freqs):
                 return jnp.sum(fn(P, wn, pad, freqs) * V)
-            gfn = jax.grad(loss, argnums=(0, 1, 2, 3))
+            argnums = (0, 1, 2, 3) if WITH_DW else (0, 3)
+            gfn = jax.grad(loss, argnums=argnums)
 
             @jax.jit
             def run(P, wn, pad, freqs):
                 def body(carry, _):
-                    dP, dwn, dpad, df = gfn(P + carry * 1e-30, wn, pad,
-                                            freqs)
+                    gs = gfn(P + carry * 1e-30, wn, pad, freqs)
+                    dP, df = gs[0], gs[-1]
                     return jnp.sum(dP[0, 0, :1]) + jnp.sum(df[:1]), None
                 c, _ = jax.lax.scan(body, jnp.float32(0.0), None,
                                     length=STEPS)
@@ -114,7 +118,8 @@ def main():
         print(f'{name}: {dt*1e3:.3f} ms/step', flush=True)
 
     edges = R * B
-    print('\nsummary (R=%d B=%d S=%d, %d entries):' % (R, B, S, edges))
+    print('\nsummary (R=%d B=%d S=%d, %d entries, with_dw=%s):'
+          % (R, B, S, edges, WITH_DW))
     for k, v in results.items():
         print(f'  {k:16s} {v:8.3f} ms  ({edges/v*1e3/1e6:.1f}M entries/s)')
 

@@ -46,30 +46,39 @@ from .ops.segment import (rows_gather, segment_cumsum,
                           segment_sort_fused, segment_sum, sort_pairs_fused)
 
 
-# Bucket-width bound for the fused rank kernel under aggregate='auto'.  The
-# kernel's weighted-rank pass is O(B^2) per entry (ops/fsw_rank_pallas.py),
-# so it wins only up to a width crossover vs the O(B log^2 B) XLA sort
-# path.  Measured on v5e (fwd+bwd, vs sort): B=32 1.59x, B=64 1.13x,
-# B=128 0.73x -> cap 64.  (Forward-only the kernel still wins at 128,
-# 1.77x, but the resolution can't know whether a backward will follow.)
+# Bucket-width bounds for the fused rank kernel under aggregate='auto'.
+# The kernel's weighted-rank pass is O(B^2) per entry
+# (ops/fsw_rank_pallas.py), the XLA sort path O(B log^2 B), so there is a
+# width crossover -- but it depends on whether weight cotangents are
+# needed.  Measured on v5e (fwd+bwd per entry, vs sort):
+#   weights_grad=True  (two mask loops): B=32 1.59x, B=64 1.13x,
+#     B=128 0.73x -> cap 64.
+#   weights_grad=False (one mask loop, the GNN-adjacency case): B=32 2.6x,
+#     B=64 2.3x, B=128 2.3x -> no measured crossover; cap 128 (widest
+#     measured; the unrolled-loop module size and O(B^2) growth advise
+#     against going blind beyond that).
 RANK_AGGREGATE_MAX_BUCKET = 64
+RANK_AGGREGATE_MAX_BUCKET_NO_DW = 128
 
 
-def _resolve_aggregate(aggregate: str, cfg, bucket_size: int) -> str:
+def _resolve_aggregate(aggregate: str, cfg, bucket_size: int,
+                       weights_grad: bool = True) -> str:
     """Pick the table-path aggregation backend.
 
     'sort': XLA bitonic sort + cumsum (works everywhere, any dtype/mode).
     'rank': fused Pallas weighted-rank kernel (TPU; non-cartesian only;
             f32 compute).  On CPU it runs in interpret mode (tests).
     'auto': 'rank' on TPU for non-cartesian tables with bucket_size <=
-            RANK_AGGREGATE_MAX_BUCKET, else 'sort'.
+            the measured-crossover cap (see above), else 'sort'.
     """
     if aggregate not in ('auto', 'sort', 'rank'):
         raise ValueError(f"aggregate must be 'auto'|'sort'|'rank', "
                          f"got {aggregate!r}")
     if aggregate != 'auto':
         return aggregate
-    if cfg.cartesian_mode or bucket_size > RANK_AGGREGATE_MAX_BUCKET:
+    cap = (RANK_AGGREGATE_MAX_BUCKET if weights_grad
+           else RANK_AGGREGATE_MAX_BUCKET_NO_DW)
+    if cfg.cartesian_mode or bucket_size > cap:
         return 'sort'
     if jax.default_backend() == 'cpu':
         return 'sort'
@@ -460,7 +469,8 @@ def fsw_embed_table(X: jax.Array,
     """
     w = table.weight                                               # (R, B)
     dt = X.dtype
-    agg = _resolve_aggregate(aggregate, cfg, table.bucket_size)
+    agg = _resolve_aggregate(aggregate, cfg, table.bucket_size,
+                             weights_grad)
 
     w_sum = jnp.sum(w, axis=-1)                                    # (R,)
     w_sum_padded = lowclamp(w_sum, cfg.total_mass_pad_thresh)

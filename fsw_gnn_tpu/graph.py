@@ -266,6 +266,29 @@ class MultiTable:
         return self.tables[0].d_edge if self.tables else 0
 
 
+def degree_classes(max_deg: int, min_bucket: int = 8) -> list:
+    """Degree-class widths 8, 16, 24, 32, 48, 64, 96, ... (powers of two
+    plus the 1.5x midpoints, all sublane multiples) covering max_deg.
+
+    The midpoint classes cut the per-row padding waste from <2x to <1.5x,
+    which the O(B)-per-entry rank kernel converts directly into time
+    (measured at the headline shape: 16% of table entries were
+    17..24-degree rows padded to 32; total entries 186k -> 160k)."""
+    B = max(min_bucket, 8)
+    classes = []
+    while True:
+        classes.append(B)
+        if B >= max_deg:
+            break
+        mid = B + B // 2
+        if mid % 8 == 0 and mid >= min_bucket:
+            classes.append(mid)
+            if mid >= max_deg:
+                break
+        B *= 2
+    return classes
+
+
 def to_multi_table(graph: Graph, min_bucket: int = 8,
                    row_pad_multiple: int = 8,
                    classes=None, class_rows=None) -> MultiTable:
@@ -286,13 +309,8 @@ def to_multi_table(graph: Graph, min_bucket: int = 8,
     deg = hi - lo
 
     if classes is None:
-        B = max(min_bucket, 8)
-        classes = []
-        while True:
-            classes.append(B)
-            if B >= max(int(deg.max()) if R else 1, 1):
-                break
-            B *= 2
+        classes = degree_classes(max(int(deg.max()) if R else 1, 1),
+                                 min_bucket)
     else:
         classes = list(classes)
         assert (int(deg.max()) if R else 0) <= classes[-1]

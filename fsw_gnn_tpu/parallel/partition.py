@@ -219,9 +219,8 @@ def partition_graph(graph: Graph, num_shards: int,
             d = np.diff(np.minimum(o_rp[p], ne))
             if d.size:
                 gmax = max(gmax, int(d.max()))
-        classes = [8]
-        while classes[-1] < gmax:
-            classes.append(classes[-1] * 2)
+        from ..graph import degree_classes
+        classes = degree_classes(max(int(gmax), 1))
         # per-class max row count over shards
         cls_counts = np.zeros((P, len(classes)), np.int64)
         for p in range(P):
