@@ -1,9 +1,11 @@
 """Stage breakdown of the MultiTable FSW_conv step (the headline path).
 
-Stages, one jit each (in-scan, amortized): (a) projection + table gather,
-(b) + rank-kernel aggregation fwd, (c) full multi-table embedding fwd,
-(d) embedding fwd+bwd, (e) full FSWConv fwd+bwd+SGD (the headline).
-Differences between consecutive stages localize the cost of each piece.
+Stages, one jit each (in-scan, amortized), matching the current production
+design (fused-projection rank kernel, weights_grad=False): (a) raw-row
+table gather (T, D), (b) + fused-projection rank-kernel fwd, (c) full
+multi-table embedding fwd, (d) embedding fwd+bwd (grad wrt X), (e) full
+FSWConv fwd+bwd+SGD (the headline).  Differences between consecutive
+stages localize the cost of each piece.
 
 Run on TPU: python benchmarks/bench_table_breakdown.py
 """
@@ -30,7 +32,7 @@ def main():
     import optax
     from fsw_gnn_tpu import (FSWConfig, FSWConv, from_edge_index,
                              fsw_embed_multi_table, to_multi_table)
-    from fsw_gnn_tpu.ops.fsw_rank_pallas import fsw_rank_aggregate
+    from fsw_gnn_tpu.ops.fsw_rank_pallas import fsw_rank_aggregate_proj
     from fsw_gnn_tpu.embedding import lowclamp
 
     rng = np.random.default_rng(0)
@@ -52,25 +54,25 @@ def main():
     def gather_all(X):
         out = []
         for tbl in mt.tables:
-            Xp = X @ proj.T
-            P = jnp.take(Xp, tbl.idx.reshape(-1), axis=0)
-            out.append(P.reshape(tbl.idx.shape + (S,)))
+            Z = jnp.take(X, tbl.idx.reshape(-1), axis=0)
+            out.append(Z.reshape(tbl.idx.shape + (D_IN,)))
         return out
 
     def agg_fwd(X):
         outs = []
-        for tbl, P in zip(mt.tables, gather_all(X)):
+        for tbl, Z in zip(mt.tables, gather_all(X)):
             w = tbl.weight
             w_sum = jnp.sum(w, axis=-1)
             wsp = lowclamp(w_sum, cfg.total_mass_pad_thresh)
             pad = lowclamp(cfg.total_mass_pad_thresh - w_sum, 0.0) / wsp
-            outs.append(fsw_rank_aggregate(P, w / wsp[:, None], pad, freqs,
-                                           None,
-                                           jax.default_backend() == 'cpu'))
+            outs.append(fsw_rank_aggregate_proj(
+                Z, w / wsp[:, None], pad, freqs, proj.T, None,
+                jax.default_backend() == 'cpu', False))
         return outs
 
     def embed_fwd(X):
-        return fsw_embed_multi_table(X, mt, proj, freqs, cfg)
+        return fsw_embed_multi_table(X, mt, proj, freqs, cfg,
+                                     weights_grad=False)
 
     def embed_loss(X):
         return jnp.sum(jnp.sin(embed_fwd(X)))
