@@ -118,22 +118,39 @@ def main():
         params = optax.apply_updates(params, updates)
         return (params, opt_state), None
 
-    @jax.jit
-    def run(params, opt_state):
-        (params, opt_state), _ = jax.lax.scan(
-            one_step, (params, opt_state), None, length=STEPS_PER_CALL)
-        return params, opt_state
+    def make_run(length):
+        # the probe scalar lets the caller end the timed region with a
+        # VALUE READBACK: under a non-empty remote pipeline
+        # block_until_ready returns immediately and timings are silent
+        # garbage (see CLAUDE.md timing protocol)
+        @jax.jit
+        def run(params, opt_state):
+            (params, opt_state), _ = jax.lax.scan(
+                one_step, (params, opt_state), None, length=length)
+            probe = jnp.sum(jax.tree_util.tree_leaves(params)[0])
+            return params, opt_state, probe
+        return run
 
-    p, s = params, opt_state
-    for _ in range(WARMUP_CALLS):
-        p, s = jax.block_until_ready(run(p, s))
+    run_n = make_run(STEPS_PER_CALL)
+    run_1 = make_run(1)
 
-    t0 = time.perf_counter()
-    for _ in range(TIMED_CALLS):
-        p, s = jax.block_until_ready(run(p, s))
-    dt = time.perf_counter() - t0
+    def measure(run, calls):
+        p, s = params, opt_state
+        for _ in range(WARMUP_CALLS):
+            p, s, probe = run(p, s)
+            float(probe)                          # drain the pipeline
+        t0 = time.perf_counter()
+        for _ in range(calls):
+            p, s, probe = run(p, s)
+        float(probe)                              # readback barrier
+        return time.perf_counter() - t0
 
-    steps = STEPS_PER_CALL * TIMED_CALLS
+    # dispatch + readback RTT cancels in the difference of the two
+    # measurements; what remains is pure step time
+    dt_n = measure(run_n, TIMED_CALLS)
+    dt_1 = measure(run_1, TIMED_CALLS)
+    steps = (STEPS_PER_CALL - 1) * TIMED_CALLS
+    dt = max(dt_n - dt_1, 1e-9)
     edges_per_sec = E_real * steps / dt
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -93,33 +93,55 @@ def main():
         return optax.apply_updates(params, updates), opt_state
 
     def scan_over(fn, init_carry, combine):
-        def body(carry, _):
-            return combine(carry, fn), None
+        def make(length):
+            def body(carry, _):
+                return combine(carry, fn), None
 
-        @jax.jit
-        def run():
-            c, _ = jax.lax.scan(body, init_carry, None, length=STEPS)
-            return c
-        return run
+            @jax.jit
+            def run():
+                c, _ = jax.lax.scan(body, init_carry, None, length=length)
+                return c
+            return run
+        return make
 
     results = {}
 
-    def timed(name, make_run):
-        run = make_run()
-        t0 = time.time()
-        jax.block_until_ready(run())
-        print(f'{name}: compile {time.time() - t0:.1f}s', flush=True)
-        t0 = time.time()
-        for _ in range(CALLS):
-            jax.block_until_ready(run())
-        ms = (time.time() - t0) / (CALLS * STEPS) * 1e3
+    def timed(name, make_factory):
+        # value-readback barriers + 20-vs-1-step differencing: under a
+        # non-empty remote pipeline block_until_ready returns immediately
+        # (CLAUDE.md timing protocol), and differencing removes the ~25 ms
+        # per-call dispatch
+        make = make_factory()
+        run_n, run_1 = make(STEPS), make(1)
+
+        def readback(x):
+            return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+
+        def measure(run):
+            t0 = time.time()
+            readback(run())                       # compile + drain
+            compile_s = time.time() - t0
+            best = float('inf')
+            for _ in range(CALLS):
+                t0 = time.time()
+                readback(run())
+                best = min(best, time.time() - t0)
+            return best, compile_s
+
+        t_n, compile_s = measure(run_n)
+        t_1, _ = measure(run_1)
+        print(f'{name}: compile {compile_s:.1f}s', flush=True)
+        ms = max(t_n - t_1, 0.0) / (STEPS - 1) * 1e3
         results[name] = ms
         print(f'{name}: {ms:.3f} ms/step', flush=True)
 
     eps = jnp.float32(1e-30)
+    # stage (a) must consume the FULL gather output: a [0,0,:1] slice of a
+    # transparent XLA gather can be simplified to a 1-row gather (the
+    # pallas stages are opaque, so partial consumption is fine there)
     timed('a_gather', lambda: scan_over(
         None, jnp.float32(0.0),
-        lambda c, _: c + sum(jnp.sum(P[0, 0, :1])
+        lambda c, _: c + sum(jnp.sum(P) * jnp.float32(1e-20)
                              for P in gather_all(X + c * eps))))
     timed('b_gather_rank_fwd', lambda: scan_over(
         None, jnp.float32(0.0),
@@ -132,15 +154,18 @@ def main():
         lambda c, _: c + jnp.sum(jax.grad(embed_loss)(X + c * eps)[0, :1])))
 
     def conv_run():
-        @jax.jit
-        def run(params, opt_state):
-            def body(carry, _):
-                return conv_step(*carry), None
-            (p, s), _ = jax.lax.scan(body, (params, opt_state), None,
-                                     length=STEPS)
-            return p, s
         opt_state = opt.init(params0)
-        return lambda: run(params0, opt_state)
+
+        def make(length):
+            @jax.jit
+            def run(params, opt_state):
+                def body(carry, _):
+                    return conv_step(*carry), None
+                (p, s), _ = jax.lax.scan(body, (params, opt_state), None,
+                                         length=length)
+                return p, s
+            return lambda: run(params0, opt_state)
+        return make
     timed('e_conv_step', conv_run)
 
     print(json.dumps({'edges': E_real, 'stages_ms': results}))

@@ -37,12 +37,18 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _row_segscan(vals, segs):
-    """Segmented inclusive scan along the last (lane) axis via doubling."""
-    n = vals.shape[-1]
+def _row_segscan(vals, segs, max_stride):
+    """Segmented inclusive scan along the last (lane) axis via doubling.
+
+    `max_stride` caps the lookback window: after passes with strides
+    1..2^{k-1} each element has accumulated its full segment prefix provided
+    segments are no longer than 2^k, so the loop runs while stride <
+    max_stride (the reference's cap, fsw_embedding.py:2869-2872 /
+    fsw_embedding.cu:56).
+    """
     lane = jax.lax.broadcasted_iota(jnp.int32, vals.shape, vals.ndim - 1)
     stride = 1
-    while stride < n:
+    while stride < max_stride:
         shifted_v = jnp.roll(vals, stride, axis=-1)
         shifted_s = jnp.roll(segs, stride, axis=-1)
         ok = jnp.logical_and(lane >= stride,
@@ -52,12 +58,21 @@ def _row_segscan(vals, segs):
     return vals
 
 
-def _affine_carry_scan(a, b, rows):
+def _affine_carry_scan(a, b, max_depth):
     """Solve C_r = a_r + b_r * C_{r-1} (C_{-1} treated as 0) along axis 0 of
-    (ROWS, 1) arrays by composing affine maps with doubling."""
+    (ROWS, 1) arrays by composing affine maps with doubling.
+
+    `max_depth` bounds how many rows back a carry can chain: b_r = 1 needs
+    row r-1 to be entirely one segment, so a chain of depth d needs a
+    segment covering d full rows (>= d*LANES elements).  With max_seg_size
+    < LANES no row is single-segment, b == 0 everywhere and C = a with zero
+    passes.
+    """
+    if max_depth <= 0:
+        return a
     pos = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
     stride = 1
-    while stride < rows:
+    while stride <= max_depth:
         a_sh = jnp.roll(a, stride, axis=0)
         b_sh = jnp.roll(b, stride, axis=0)
         valid = pos >= stride
@@ -67,7 +82,8 @@ def _affine_carry_scan(a, b, rows):
     return a
 
 
-def _segcumsum_kernel(v_ref, s_ref, out_ref, carry_v, carry_s):
+def _segcumsum_kernel(v_ref, s_ref, out_ref, carry_v, carry_s,
+                      *, max_seg_size):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -80,7 +96,7 @@ def _segcumsum_kernel(v_ref, s_ref, out_ref, carry_v, carry_s):
     rows = vals.shape[0]
 
     # 1) lane-wise segmented scan within each row
-    scanned = _row_segscan(vals, segs)
+    scanned = _row_segscan(vals, segs, min(max_seg_size, LANES))
 
     # 2) inter-row carries.  Row summaries as (ROWS, 1) sublane vectors:
     t = scanned[:, LANES - 1:LANES]        # last-segment running total
@@ -105,7 +121,9 @@ def _segcumsum_kernel(v_ref, s_ref, out_ref, carry_v, carry_s):
                   jnp.zeros_like(t))       # chains into row r
     a = g * prev_t
     b = g * prev_single
-    C = _affine_carry_scan(a, b, rows)     # (ROWS, 1) carry into each row
+    # carry chains b_r deep only through full single-segment rows, so the
+    # chain depth is bounded by floor(max_seg_size / LANES)
+    C = _affine_carry_scan(a, b, min(max_seg_size // LANES, rows - 1))
 
     # 3) apply: the carry adds to each row's leading segment
     scanned = scanned + jnp.where(segs == first_s, C,
@@ -117,14 +135,25 @@ def _segcumsum_kernel(v_ref, s_ref, out_ref, carry_v, carry_s):
     carry_s[0] = segs[rows - 1, LANES - 1]
 
 
-@functools.partial(jax.jit, static_argnames=('rows_per_block', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('rows_per_block', 'interpret',
+                                             'max_seg_size'))
 def segcumsum_pallas(values: jax.Array, segment_ids: jax.Array,
                      rows_per_block: int = 64,
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool = False,
+                     max_seg_size: int | None = None) -> jax.Array:
     """Segmented inclusive cumsum of a flat array (sorted segment ids).
 
     Pads to a multiple of rows_per_block*128 internally; returns the original
     length.
+
+    `max_seg_size`: static upper bound on the longest segment, the same
+    contract as the reference (fsw_embedding.py:2795, 2812-2820: computed
+    from the data when absent; here None means "unbounded").  A tight bound
+    prunes doubling passes: the lane scan runs ceil(log2(min(max_seg_size,
+    128))) passes instead of 7, and for max_seg_size < 128 the inter-row
+    affine carry scan vanishes entirely (no row can be a single segment).
+    Results are exact whenever the bound is honest; like the reference, a
+    too-small bound silently truncates long segments.
     """
     n = values.shape[0]
     assert segment_ids.shape == (n,)
@@ -137,9 +166,12 @@ def segcumsum_pallas(values: jax.Array, segment_ids: jax.Array,
     v2 = v.reshape(-1, LANES)
     s2 = s.reshape(-1, LANES)
     n_blocks = v2.shape[0] // rows_per_block
+    if max_seg_size is None:
+        max_seg_size = rows_per_block * LANES
+    max_seg_size = max(1, min(max_seg_size, rows_per_block * LANES))
 
     out = pl.pallas_call(
-        _segcumsum_kernel,
+        functools.partial(_segcumsum_kernel, max_seg_size=max_seg_size),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((rows_per_block, LANES), lambda i: (i, 0),

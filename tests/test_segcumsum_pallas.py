@@ -32,6 +32,41 @@ def test_segcumsum_pallas_matches_oracle(n, nseg, rows):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize('n,nseg,rows', [
+    (1000, 37, 8),         # avg seg ~27 -> 5-6 lane passes, no row scan
+    (8192, 100, 8),        # avg ~82, crosses tiles
+    (70000, 5, 64),        # segments ~14k -> full lane scan + deep row scan
+    (4096, 4096, 8),       # singletons -> max_seg 1..few, minimal passes
+])
+def test_segcumsum_pallas_max_seg_size(n, nseg, rows):
+    """Capped doubling passes (the reference's max_seg_size contract,
+    fsw_embedding.py:2812-2820) must stay exact for an honest bound."""
+    rng = np.random.default_rng(n + 1)
+    ids = np.sort(rng.integers(0, nseg, n)).astype(np.int32)
+    vals = rng.standard_normal(n).astype(np.float32)
+    max_seg = int(np.max(np.bincount(ids)))
+    got = segcumsum_pallas(jnp.asarray(vals), jnp.asarray(ids),
+                           rows_per_block=rows, interpret=True,
+                           max_seg_size=max_seg)
+    want = _oracle(vals.astype(np.float64), ids)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_segcumsum_pallas_max_seg_exact_boundaries():
+    """Power-of-two and off-by-one bounds around the lane width."""
+    rng = np.random.default_rng(7)
+    for seg_len in (1, 2, 127, 128, 129, 256):
+        n = seg_len * 7
+        ids = np.repeat(np.arange(7, dtype=np.int32), seg_len)
+        vals = rng.standard_normal(n).astype(np.float32)
+        got = segcumsum_pallas(jnp.asarray(vals), jnp.asarray(ids),
+                               rows_per_block=8, interpret=True,
+                               max_seg_size=seg_len)
+        want = _oracle(vals.astype(np.float64), ids)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
+                                   atol=2e-5, err_msg=f'seg_len={seg_len}')
+
+
 def test_segment_restart_precision():
     """Per-segment restart: a huge earlier segment must not pollute later
     small segments (the weakness of the cumsum-minus-base formulation)."""
