@@ -76,7 +76,7 @@ def main():
     out_x, _ = timed(lambda v, s: segment_cumsum(v, s, method='global'),
                      'xla_cumsum_minus_base')
     rows_list = [int(r) for r in
-                 os.environ.get('FSW_SEGBENCH_ROWS', '64').split(',')]
+                 os.environ.get('FSW_SEGBENCH_ROWS', '1024').split(',')]
     # honest static bound on the longest segment (the reference computes the
     # same bound from the data when absent, fsw_embedding.py:2812-2820)
     max_seg = int(np.max(np.bincount(ids)))
