@@ -10,6 +10,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import readback  # hardened TPU timing protocol (CLAUDE.md)
 
 import numpy as np
 
@@ -71,12 +73,12 @@ def main():
     p, s = params, opt.init(params)
     t0 = time.perf_counter()
     p, s, losses = run(p, s)
-    jax.block_until_ready(losses)
+    readback(losses)                      # compile + drain the queue
     compile_and_first = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     p, s, losses = run(p, s)
-    jax.block_until_ready(losses)
+    readback(losses)                      # readback barrier
     dt = (time.perf_counter() - t0) / STEPS
     print(json.dumps({
         'nodes': N_NODES, 'edges': E_real, 'layout': layout,

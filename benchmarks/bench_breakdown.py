@@ -10,6 +10,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import readback  # hardened TPU timing protocol (CLAUDE.md)
 
 import numpy as np
 
@@ -64,10 +66,11 @@ def main():
                      ('embed_fwd', embed_fwd),
                      ('embed_fwd_bwd', embed_fwd_bwd)]:
         f = jax.jit(fn)
-        jax.block_until_ready(f(X))
+        readback(f(X))                    # compile + drain the queue
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            jax.block_until_ready(f(X))
+            out = f(X)
+        readback(out)                     # readback barrier
         dt = (time.perf_counter() - t0) / ITERS
         print(json.dumps({'stage': name, 'ms': round(dt * 1e3, 2),
                           'edges_per_s': round(E_real / dt)}), flush=True)

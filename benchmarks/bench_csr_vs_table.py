@@ -1,6 +1,8 @@
 """fwd+bwd: CSR path vs bucketed table path (both with sort-unsort VJPs)."""
 import json, os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import readback  # hardened TPU timing protocol (CLAUDE.md)
 import numpy as np
 
 def main():
@@ -34,10 +36,11 @@ def main():
     }
     for name, fn in cases.items():
         f = jax.jit(fn)
-        jax.block_until_ready(f(X, proj))
+        readback(f(X, proj))              # compile + drain the queue
         t0 = time.perf_counter()
         for _ in range(10):
-            jax.block_until_ready(f(X, proj))
+            out = f(X, proj)
+        readback(out)                     # readback barrier
         dt = (time.perf_counter() - t0) / 10
         print(json.dumps({'case': name, 'ms': round(dt*1e3, 2),
                           'edges_per_s': round(E_real/dt)}), flush=True)

@@ -7,6 +7,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import readback  # hardened TPU timing protocol (CLAUDE.md)
 
 import numpy as np
 
@@ -43,10 +45,11 @@ def main():
             x, w, proj, freqs, cfg).sum(), argnums=(0, 1))(X, W)
 
     for name, f in [('multiset_fwd', fwd), ('multiset_fwd_bwd', fwd_bwd)]:
-        jax.block_until_ready(f(X, W))
+        readback(f(X, W))                 # compile + drain the queue
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            jax.block_until_ready(f(X, W))
+            out = f(X, W)
+        readback(out)                     # readback barrier
         dt = (time.perf_counter() - t0) / ITERS
         print(json.dumps({'case': name, 'ms': round(dt * 1e3, 2),
                           'points_per_s': round(points / dt),

@@ -15,6 +15,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import readback  # hardened TPU timing protocol (CLAUDE.md)
 
 import numpy as np
 
@@ -92,11 +94,11 @@ def main():
     # on-device parity first (reuses the fwd compiles)
     t0 = time.time()
     a = jax.jit(krn_fwd)(P, wn, pad, freqs)
-    a.block_until_ready()
+    readback(a)
     print(f'kernel fwd compile+run: {time.time()-t0:.1f}s', flush=True)
     t0 = time.time()
     b = jax.jit(xla_fwd)(P, wn, pad, freqs)
-    b.block_until_ready()
+    readback(b)
     print(f'xla fwd compile+run: {time.time()-t0:.1f}s', flush=True)
     err = float(jnp.max(jnp.abs(a - b)))
     print(f'fwd max abs diff kernel vs xla: {err:.3e}', flush=True)
@@ -108,11 +110,12 @@ def main():
                            ('xla_fwd_bwd', xla_fwd, True)]:
         run = make_loop(fn, grad)
         t0 = time.time()
-        run().block_until_ready()
+        readback(run())                   # compile + drain the queue
         print(f'{name}: compile {time.time()-t0:.1f}s', flush=True)
         t0 = time.time()
         for _ in range(CALLS):
-            run().block_until_ready()
+            out = run()
+        readback(out)                     # readback barrier
         dt = (time.time() - t0) / (CALLS * STEPS)
         results[name] = dt * 1e3
         print(f'{name}: {dt*1e3:.3f} ms/step', flush=True)

@@ -14,6 +14,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import readback  # hardened TPU timing protocol (CLAUDE.md)
 
 import numpy as np
 
@@ -84,11 +86,12 @@ def main():
                                     length=STEPS)
                 return c
         t0 = time.time()
-        jax.block_until_ready(run(X, V))
+        readback(run(X, V))               # compile + drain the queue
         print(f'{name}: compile {time.time() - t0:.1f}s', flush=True)
         t0 = time.time()
         for _ in range(CALLS):
-            jax.block_until_ready(run(X, V))
+            out = run(X, V)
+        readback(out)                     # readback barrier
         ms = (time.time() - t0) / (CALLS * STEPS) * 1e3
         results[name] = ms
         print(f'{name}: {ms:.3f} ms/step', flush=True)

@@ -13,6 +13,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import readback  # hardened TPU timing protocol (CLAUDE.md)
 
 import numpy as np
 
@@ -68,11 +70,11 @@ def main():
         s, b = opt.init(p), {}
         rng = jax.random.PRNGKey(0)
         p, s, b, loss = step(p, s, b, Xs, shards, labels, mask, rng)  # compile
-        jax.block_until_ready(loss)
+        readback(loss)                    # drain the queue
         t0 = time.perf_counter()
         for _ in range(ITERS):
             p, s, b, loss = step(p, s, b, Xs, shards, labels, mask, rng)
-        jax.block_until_ready(loss)
+        readback(loss)                    # readback barrier
         dt = (time.perf_counter() - t0) / ITERS
         eps = E_real / dt
         results.append((n_dev, eps))

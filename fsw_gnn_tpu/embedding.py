@@ -75,6 +75,10 @@ def _resolve_aggregate(aggregate: str, cfg, bucket_size: int,
         raise ValueError(f"aggregate must be 'auto'|'sort'|'rank', "
                          f"got {aggregate!r}")
     if aggregate != 'auto':
+        if aggregate == 'rank' and cfg.cartesian_mode:
+            raise ValueError("aggregate='rank' does not support cartesian "
+                             "mode (n_slices x n_freqs); use 'sort' or "
+                             "'auto'")
         return aggregate
     cap = (RANK_AGGREGATE_MAX_BUCKET if weights_grad
            else RANK_AGGREGATE_MAX_BUCKET_NO_DW)
@@ -663,14 +667,8 @@ def fsw_embed_graph_dense(X: jax.Array,
         return (1.0 + f_block) * emb                               # (..., R, Sb)
 
     S = cfg.nSlices
-    if cfg.cartesian_mode:
-        slice_freqs = jnp.broadcast_to(freqs, (S,) + freqs.shape)
-    else:
-        slice_freqs = freqs
-
     if slice_chunk is None or slice_chunk >= S:
-        emb = slices_block(projVecs,
-                           freqs if cfg.cartesian_mode else slice_freqs)
+        emb = slices_block(projVecs, freqs)
     else:
         n_chunks = -(-S // slice_chunk)
         S_pad = n_chunks * slice_chunk
@@ -683,7 +681,7 @@ def fsw_embed_graph_dense(X: jax.Array,
             emb = emb.reshape(emb.shape[:-3] +
                               (S_pad,) + emb.shape[-1:])[..., :S, :]
         else:
-            f_pad = jnp.pad(slice_freqs, (0, S_pad - S))
+            f_pad = jnp.pad(freqs, (0, S_pad - S))
             f_chunks = f_pad.reshape(n_chunks, slice_chunk)
             emb = jax.lax.map(lambda vf: slices_block(vf[0], vf[1]),
                               (V_chunks, f_chunks))

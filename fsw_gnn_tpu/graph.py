@@ -400,6 +400,7 @@ def stack_graphs(graphs) -> Graph:
     g0 = graphs[0]
     for g in graphs[1:]:
         assert g.src.shape == g0.src.shape, 'pad all graphs to equal shapes'
+        assert g.num_nodes == g0.num_nodes
         assert g.num_recipients == g0.num_recipients
         assert (g.edge_feat is None) == (g0.edge_feat is None)
     return Graph(

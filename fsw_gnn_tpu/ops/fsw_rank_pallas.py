@@ -289,7 +289,7 @@ def _fwd_call(P, wn, pad_norm, freqs, tile_r, interpret):
     R, B, S = P.shape
     S_pad = -(-S // 128) * 128
     tr = tile_r or _pick_tile_r(B, S_pad)
-    tr = min(tr, max(8, R))
+    tr = min(tr, -(-max(8, R) // 8) * 8)  # sublane multiple (Mosaic req.)
     Pp, wnp, padp, freqp = _pad_args(P, wn, pad_norm, freqs, tr)
     R_pad, B_pad, S_pad = Pp.shape
     out = pl.pallas_call(
@@ -315,7 +315,7 @@ def _fsw_bwd(tile_r, interpret, with_dw, res, g):
     R, B, S = P.shape
     S_pad = -(-S // 128) * 128
     tr = tile_r or _pick_tile_bwd(B, S_pad)
-    tr = min(tr, max(8, R))
+    tr = min(tr, -(-max(8, R) // 8) * 8)  # sublane multiple (Mosaic req.)
     Pp, wnp, padp, freqp = _pad_args(P, wn, pad_norm, freqs, tr)
     R_pad, B_pad, S_pad = Pp.shape
     gp = g
@@ -544,7 +544,7 @@ def _fwdp_call(Z, wn, pad_norm, freqs, V, tile_r, interpret):
     S = V.shape[1]
     S_pad = -(-S // 128) * 128
     tr = tile_r or _pick_tile_r(B, S_pad)
-    tr = min(tr, max(8, R))
+    tr = min(tr, -(-max(8, R) // 8) * 8)  # sublane multiple (Mosaic req.)
     Zp, wnp, padp, freqp, Vp = _pad_proj_args(Z, wn, pad_norm, freqs, V,
                                               tr)
     R_pad, B_pad, D_pad = Zp.shape
@@ -573,7 +573,7 @@ def _fswp_bwd(tile_r, interpret, with_dw, res, g):
     S = V.shape[1]
     S_pad = -(-S // 128) * 128
     tr = tile_r or _pick_tile_bwd(B, S_pad)
-    tr = min(tr, max(8, R))
+    tr = min(tr, -(-max(8, R) // 8) * 8)  # sublane multiple (Mosaic req.)
     Zp, wnp, padp, freqp, Vp = _pad_proj_args(Z, wn, pad_norm, freqs, V,
                                               tr)
     R_pad, B_pad, D_pad = Zp.shape

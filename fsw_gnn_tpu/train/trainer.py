@@ -33,6 +33,16 @@ from ..parallel import (make_distributed_train_step, make_graph_mesh,
 from ..parallel.dist import masked_softmax_cross_entropy
 
 
+def _trees_equal(a, b) -> bool:
+    """Structural + exact-value equality of two pytrees of arrays."""
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    if ta != tb:
+        return False
+    return all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(la, lb))
+
+
 @dataclasses.dataclass
 class TrainConfig:
     hidden_dims: tuple = (64,)
@@ -141,6 +151,7 @@ class Trainer:
                 lambda variables, X: model.apply(variables, X, graph))
 
         self._ckpt_mgr = None
+        self._last_saved_step = None   # steps written by THIS process
         if config.checkpoint_dir:
             import orbax.checkpoint as ocp
             self._ckpt_mgr = ocp.CheckpointManager(
@@ -211,10 +222,15 @@ class Trainer:
     def save_checkpoint(self):
         if self._ckpt_mgr is None:
             return
-        if self._ckpt_mgr.latest_step() == self.step_count:
+        if self._last_saved_step == self.step_count:
             return  # this step is already on disk (e.g. final save right
-                    # after a periodic one)
+                    # after a periodic one).  Tracked in-process, NOT via
+                    # latest_step(): a reused checkpoint_dir may hold a
+                    # stale entry with the same step number from a previous
+                    # run, which must be overwritten, not skipped.
         import orbax.checkpoint as ocp
+        if self.step_count in (self._ckpt_mgr.all_steps() or []):
+            self._ckpt_mgr.delete(self.step_count)   # stale previous-run entry
         self._ckpt_mgr.save(
             self.step_count,
             args=ocp.args.StandardSave({'params': self.params,
@@ -222,6 +238,7 @@ class Trainer:
                                         'batch_stats': self.batch_stats,
                                         'fixed': self.fixed}))
         self._ckpt_mgr.wait_until_finished()
+        self._last_saved_step = self.step_count
 
     def restore_checkpoint(self, step: Optional[int] = None):
         assert self._ckpt_mgr is not None, 'no checkpoint_dir configured'
@@ -236,7 +253,18 @@ class Trainer:
         self.params = restored['params']
         self.opt_state = restored['opt_state']
         self.batch_stats = restored.get('batch_stats', {}) or {}
-        self.fixed = restored['fixed']
+        old_fixed, self.fixed = self.fixed, restored['fixed']
+        if not _trees_equal(old_fixed, self.fixed):
+            # the compiled train step closed over the init-time fixed
+            # collections; rebuild it so training uses the RESTORED
+            # projections/freqs (predict() already takes them as arguments)
+            if self.distributed:
+                self._step = make_distributed_train_step(
+                    self.model, self.opt, self.shards, self.mesh,
+                    fixed_collections=self.fixed,
+                    exchange=self.cfg.exchange)
+            else:
+                self._step = self._make_single_step()
         self.step_count = step
         return step
 
