@@ -250,6 +250,14 @@ class Trainer:
                                            'opt_state': self.opt_state,
                                            'batch_stats': self.batch_stats,
                                            'fixed': self.fixed}))
+        if self.distributed:
+            # orbax restores arrays COMMITTED to one device; the mesh train
+            # step needs them replicated (init-time params are uncommitted,
+            # so this only bites on restore)
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            restored = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), restored)
         self.params = restored['params']
         self.opt_state = restored['opt_state']
         self.batch_stats = restored.get('batch_stats', {}) or {}

@@ -252,3 +252,21 @@ def test_rank_aggregate_multi_table_grads():
     for x, y in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=5e-3, atol=5e-4)
+
+
+def test_rank_aggregate_rejects_cartesian():
+    """aggregate='rank' has no cartesian (n_slices x n_freqs) kernel; the
+    request must fail loudly instead of silently computing a wrong shape
+    ('auto' routes cartesian configs to the sort path)."""
+    rng = np.random.default_rng(3)
+    n, d_in = 24, 4
+    cfg = FSWConfig(d_in=d_in, n_slices=5, n_freqs=3, enable_bias=False)
+    proj, freqs = _params(rng, cfg)
+    X = jnp.asarray(rng.standard_normal((n, d_in)))
+    t = to_neighbor_table(from_edge_index(_random_graph(rng, n), n,
+                                          dtype=jnp.float64))
+    with pytest.raises(ValueError, match='cartesian'):
+        fsw_embed_table(X, t, proj, freqs, cfg, aggregate='rank')
+    # 'auto' must still work (sort path)
+    out = fsw_embed_table(X, t, proj, freqs, cfg, aggregate='auto')
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -3,6 +3,8 @@ planted-partition task, checkpoints must round-trip, and the distributed
 trainer must work on the virtual mesh."""
 import os
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -97,3 +99,55 @@ def test_metrics_jsonl_export(data, tmp_path):
     assert all('loss' in l for l in lines if 'epoch' in l)
     assert 'val_acc' in lines[1]           # eval_every=2
     assert 'final' in lines[-1]
+
+
+def test_reused_checkpoint_dir_overwrites_stale_same_step(data, tmp_path):
+    """A previous run's entry with the same step number must be replaced,
+    not skipped: save_checkpoint's already-on-disk shortcut is tracked
+    per-process, never inferred from latest_step()."""
+    ckpt = str(tmp_path / 'ckpt_reuse')
+    cfg = dict(hidden_dims=(8,), epochs=2, eval_every=10,
+               checkpoint_dir=ckpt, dropout=0.0)
+
+    tr_old = Trainer(data, TrainConfig(**cfg, seed=0))
+    tr_old.train_epoch(); tr_old.train_epoch()
+    tr_old.step_count = 2
+    tr_old.save_checkpoint()
+
+    # a NEW run reusing the directory, different seed -> different params
+    tr_new = Trainer(data, TrainConfig(**cfg, seed=99))
+    tr_new.train_epoch(); tr_new.train_epoch()
+    tr_new.step_count = 2
+    tr_new.save_checkpoint()          # must overwrite the stale step-2 entry
+
+    tr_chk = Trainer(data, TrainConfig(**cfg, seed=99))
+    tr_chk.restore_checkpoint()
+    got = jax.tree_util.tree_leaves(tr_chk.params)[0]
+    want = jax.tree_util.tree_leaves(tr_new.params)[0]
+    stale = jax.tree_util.tree_leaves(tr_old.params)[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert not np.array_equal(np.asarray(got), np.asarray(stale))
+
+
+@pytest.mark.parametrize('num_devices', [None, 8])
+def test_restore_rebuilds_train_step_with_restored_fixed(data, tmp_path,
+                                                         num_devices):
+    """The compiled train step closes over the fixed collections
+    (projections/freqs).  Restoring a checkpoint whose fixed differ from
+    this process's init (different seed) must rebuild the step, so
+    continued TRAINING -- not just predict() -- runs on the restored
+    embedding geometry."""
+    ckpt = str(tmp_path / f'ckpt_fixed_{num_devices}')
+    cfg = dict(hidden_dims=(8,), epochs=4, eval_every=10, dropout=0.0,
+               checkpoint_dir=ckpt, num_devices=num_devices)
+
+    tr1 = Trainer(data, TrainConfig(**cfg, seed=0))
+    l1a = tr1.train_epoch()
+    tr1.step_count = 1
+    tr1.save_checkpoint()
+    l1b = tr1.train_epoch()           # uninterrupted epoch 2
+
+    tr2 = Trainer(data, TrainConfig(**cfg, seed=123))  # different fixed
+    tr2.restore_checkpoint()
+    l2b = tr2.train_epoch()           # resumed epoch 2
+    np.testing.assert_allclose(l2b, l1b, rtol=1e-5)
