@@ -35,7 +35,7 @@ def _add_train_args(p):
     p.add_argument('--slice-chunk', type=int, default=None,
                    help='serialize the slice axis in chunks (memory cap)')
     p.add_argument('--exchange', default='all_gather',
-                   choices=['all_gather', 'all_to_all'],
+                   choices=['all_gather', 'all_to_all', 'overlap'],
                    help='boundary feature exchange for distributed runs')
     p.add_argument('--minimize-slice-coherence', action='store_true',
                    help='coherence-minimize projection frames at init '

@@ -218,12 +218,17 @@ class FSWConv(nn.Module):
     @nn.compact
     def __call__(self, vertex_features, graph: Graph, *, train: bool = False,
                  slice_chunk: Optional[int] = None, recipient_features=None,
-                 aggregate: str = 'auto'):
+                 aggregate: str = 'auto', proj_gather_fn=None,
+                 exchange_chunks: int = 4):
         """vertex_features: (N, d_in) sender features (N = graph.num_nodes).
         recipient_features: (R, d_in) the recipients' own features for the
         concat_self path; defaults to vertex_features (square graphs on one
         device).  Under edge partitioning the senders are the all-gathered
-        padded-global matrix while recipients are the local shard."""
+        padded-global matrix while recipients are the local shard.
+        proj_gather_fn (distributed overlap exchange): when set,
+        vertex_features are the LOCAL shard's rows and sender projections
+        are exchanged slice-chunk by slice-chunk inside the embedding,
+        overlapping ICI transfers with aggregation (parallel/overlap.py)."""
         mlp_hidden = (self.mlp_hidden_dim if self.mlp_hidden_dim is not None
                       else max(self.in_channels, self.out_channels))
 
@@ -233,7 +238,8 @@ class FSWConv(nn.Module):
         emb = FSWEmbedding(self._embed_cfg(), dtype=self.dtype,
                            name='fsw_embed')(
             vertex_features, graph=graph, slice_chunk=slice_chunk,
-            aggregate=aggregate, weights_grad=False)
+            aggregate=aggregate, weights_grad=False,
+            proj_gather_fn=proj_gather_fn, exchange_chunks=exchange_chunks)
 
         if self.concat_self:
             self_feats = (vertex_features if recipient_features is None

@@ -41,11 +41,21 @@ class FSWGNN(nn.Module):
 
     @nn.compact
     def __call__(self, vertex_features, graph: Graph, *, train: bool = False,
-                 gather_fn=None):
+                 gather_fn=None, proj_gather_fn=None,
+                 exchange_chunks: int = 4):
         """gather_fn: assembles the full sender matrix from the local node
         features between layers (identity on a single device; an ICI
         all_gather under edge partitioning).  SPMD-transparent: the same
-        module runs single-chip and inside shard_map."""
+        module runs single-chip and inside shard_map.
+        proj_gather_fn: the comm/compute-overlapped alternative -- raw
+        features stay local and each layer's sender PROJECTIONS are
+        exchanged slice-chunk by slice-chunk inside the embedding, so ICI
+        transfers run behind the aggregation (parallel/overlap.py).
+        Requires a (Multi)Table graph layout and edgefeat_dim == 0."""
+        if proj_gather_fn is not None:
+            assert gather_fn is None, 'pass gather_fn OR proj_gather_fn'
+            assert self.edgefeat_dim == 0, (
+                'the overlap exchange does not support edge features')
         gather = gather_fn if gather_fn is not None else (lambda x: x)
         x_local = vertex_features
         d_in = self.in_channels
@@ -70,7 +80,9 @@ class FSWGNN(nn.Module):
                 name=f'conv_{i}')(x_full, graph, train=train,
                                   slice_chunk=self.slice_chunk,
                                   recipient_features=x_local,
-                                  aggregate=self.aggregate)
+                                  aggregate=self.aggregate,
+                                  proj_gather_fn=proj_gather_fn,
+                                  exchange_chunks=exchange_chunks)
             d_in = d_out
         return x_local
 

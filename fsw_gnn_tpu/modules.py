@@ -68,7 +68,8 @@ class FSWEmbedding(nn.Module):
     def __call__(self, X, W=None, *, graph=None, X_edge=None,
                  graph_mode: bool = False, w_mode: str = 'unit',
                  slice_chunk: Optional[int] = None,
-                 aggregate: str = 'auto', weights_grad: bool = True):
+                 aggregate: str = 'auto', weights_grad: bool = True,
+                 proj_gather_fn=None, exchange_chunks: int = 4):
         cfg = self.cfg
         dt = self.dtype
 
@@ -100,6 +101,19 @@ class FSWEmbedding(nn.Module):
                 cfg.learnable_total_mass_encoding_scale)
 
         if graph is not None:
+            if proj_gather_fn is not None:
+                # distributed comm/compute overlap: X are the LOCAL shard's
+                # node features; projections are exchanged slice-chunk by
+                # slice-chunk inside the embedding (parallel/overlap.py)
+                assert isinstance(graph, (MultiTable, NeighborTable)), (
+                    'the overlap exchange needs a (Multi)Table layout')
+                from .parallel.overlap import fsw_embed_local_overlap
+                return fsw_embed_local_overlap(
+                    X, graph, proj, freqs, cfg,
+                    proj_gather_fn=proj_gather_fn,
+                    n_chunks=exchange_chunks, bias=bias,
+                    total_mass_scale=tm_scale, aggregate=aggregate,
+                    weights_grad=weights_grad)
             if isinstance(graph, MultiTable):
                 return fsw_embed_multi_table(X, graph, proj, freqs, cfg,
                                              bias=bias,

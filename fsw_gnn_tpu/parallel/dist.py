@@ -157,11 +157,31 @@ def _a2a_gather_fn(axis, send_idx_local):
     return gather
 
 
+def _model_exchange_kwargs(exchange: str, axis: str, local_shards,
+                           overlap_chunks: int) -> dict:
+    """model.apply kwargs for the chosen boundary exchange.
+
+    'all_gather' / 'all_to_all': raw features are assembled up front via
+    gather_fn.  'overlap': features stay local; the model exchanges each
+    layer's sender projections slice-chunk by slice-chunk inside the
+    embedding so ICI transfers overlap aggregation (parallel/overlap.py;
+    the sender-id layout is the all_gather padded-global one).
+    """
+    if exchange == 'overlap':
+        return {'proj_gather_fn': _gather_fn(axis),
+                'exchange_chunks': overlap_chunks}
+    if exchange == 'all_to_all':
+        return {'gather_fn': _a2a_gather_fn(axis,
+                                            local_shards.a2a_send_idx[0])}
+    return {'gather_fn': _gather_fn(axis)}
+
+
 def make_distributed_train_step(model, optimizer: optax.GradientTransformation,
                                 shards: GraphShards, mesh: Mesh,
                                 fixed_collections: Optional[dict] = None,
                                 axis: str = 'graph',
-                                exchange: str = 'all_gather') -> Callable:
+                                exchange: str = 'all_gather',
+                                overlap_chunks: int = 4) -> Callable:
     """Jitted full-graph node-classification train step.
 
     Step signature:
@@ -187,16 +207,15 @@ def make_distributed_train_step(model, optimizer: optax.GradientTransformation,
         # returns this device's share of the global mean loss; the numerator
         # stays local (no psum!) because transpose(psum) is psum -- a psum'd
         # scalar would come back from autodiff carrying an extra factor P
-        g = _local_graph(shards, local_shards, exchange)
-        if exchange == 'all_to_all':
-            gf = _a2a_gather_fn(axis, local_shards.a2a_send_idx[0])
-        else:
-            gf = _gather_fn(axis)
+        g = _local_graph(shards, local_shards,
+                         'all_gather' if exchange == 'overlap' else exchange)
+        ex_kwargs = _model_exchange_kwargs(exchange, axis, local_shards,
+                                           overlap_chunks)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         logits, mutated = model.apply(
             {'params': params, **bstats, **fixed}, X_local[0], g,
-            gather_fn=gf, train=True, rngs={'dropout': rng},
-            mutable=['batch_stats'])
+            train=True, rngs={'dropout': rng},
+            mutable=['batch_stats'], **ex_kwargs)
         loss_sum, cnt = masked_softmax_cross_entropy(
             logits, labels[0], mask[0])
         cnt_total = jax.lax.psum(cnt, axis)   # mask: no gradient
@@ -228,7 +247,8 @@ def make_distributed_train_step(model, optimizer: optax.GradientTransformation,
 
 def make_distributed_forward(model, shards: GraphShards, mesh: Mesh,
                              variables=None, axis: str = 'graph',
-                             exchange: str = 'all_gather') -> Callable:
+                             exchange: str = 'all_gather',
+                             overlap_chunks: int = 4) -> Callable:
     """Jitted sharded inference over (P, R_shard, d) node features; returns
     stacked (P, R_shard, out) recipient values.
 
@@ -239,12 +259,11 @@ def make_distributed_forward(model, shards: GraphShards, mesh: Mesh,
     two-arg signature fwd(X_stacked, shards) for convenience.
     """
     def fwd(variables, X, local_shards):
-        g = _local_graph(shards, local_shards, exchange)
-        if exchange == 'all_to_all':
-            gf = _a2a_gather_fn(axis, local_shards.a2a_send_idx[0])
-        else:
-            gf = _gather_fn(axis)
-        out = model.apply(variables, X[0], g, gather_fn=gf)
+        g = _local_graph(shards, local_shards,
+                         'all_gather' if exchange == 'overlap' else exchange)
+        ex_kwargs = _model_exchange_kwargs(exchange, axis, local_shards,
+                                           overlap_chunks)
+        out = model.apply(variables, X[0], g, **ex_kwargs)
         return out[None]
 
     spec = _shard_specs(shards)

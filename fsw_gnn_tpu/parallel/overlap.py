@@ -1,4 +1,4 @@
-"""Comm/compute-overlapped distributed FSW aggregation (prototype).
+"""Comm/compute-overlapped distributed FSW aggregation.
 
 BASELINE north star: "boundary node features exchanged via all-to-all and
 overlapped with local aggregation".  Round-1 analysis showed FSW
@@ -22,9 +22,14 @@ features); the overlap is profitable when T_x(chunk) <= T_c(chunk), i.e.
 when aggregation intensity (B-step rank reduction, ~6*B flops/entry/slice)
 exceeds ICI stream rate -- true for B >= ~16 on v5e ICI.
 
-Scope (prototype): single NeighborTable class per shard, non-cartesian
-mode, no edge features.  Verified against the single-device table path on
-the virtual mesh (tests/test_overlap.py).
+Production entry: `fsw_embed_local_overlap` (NeighborTable + MultiTable,
+finalization, degree encoding), reached end-to-end via
+`make_distributed_train_step(..., exchange='overlap')` /
+`FSWGNN(..., proj_gather_fn=...)` / `TrainConfig(exchange='overlap')`.
+Scope: non-cartesian, no edge features.  `pipelined_table_embed` below is
+the original raw-array prototype, kept for the shard_map-level test.
+Verified against the single-device table path and the all_gather exchange
+on the virtual mesh (tests/test_overlap.py).
 """
 from __future__ import annotations
 
@@ -34,8 +39,98 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..embedding import FSWConfig, lowclamp, _sinc_diff, _finalize
+from ..embedding import (FSWConfig, _finalize, _resolve_aggregate,
+                         _sinc_diff, bucket_quadrature, lowclamp)
+from ..graph import MultiTable, NeighborTable
 from ..ops.segment import sort_pairs_fused
+
+
+def fsw_embed_local_overlap(X_local: jax.Array,
+                            graph,
+                            proj: jax.Array,
+                            freqs: jax.Array,
+                            cfg: FSWConfig,
+                            proj_gather_fn,
+                            n_chunks: int = 4,
+                            bias=None,
+                            total_mass_scale=None,
+                            aggregate: str = 'auto',
+                            weights_grad: bool = True) -> jax.Array:
+    """PRODUCTION comm/compute-overlapped table embedding (runs inside
+    shard_map under edge partitioning).
+
+    X_local (R_shard, d_in): this shard's node features; `graph`: the local
+    NeighborTable or MultiTable whose sender ids index the padded-GLOBAL
+    layout (owner * R_shard + row, the all_gather layout of
+    parallel.dist._local_graph).  Instead of gathering raw features up
+    front, each shard projects its OWN rows (P-fold less projection work)
+    and the (N, S) projections are exchanged slice-chunk by slice-chunk:
+    chunk k+1's all_gather has no data dependency on chunk k's aggregation,
+    so XLA's scheduler runs the ICI transfers behind the rank/sort compute
+    (latency model in the module docstring).
+
+    proj_gather_fn: (R_shard, chunk) -> (N_padded_global, chunk), e.g.
+    `lambda x: jax.lax.all_gather(x, axis, tiled=True)`.
+
+    Scope: non-cartesian, no edge features (the reference's batched
+    edge-feature path needs raw per-edge rows, which the projection
+    exchange cannot carry).  Under aggregate='auto' chunks narrower than
+    the 128-lane tile use the XLA sort path: the rank kernel pads the slice
+    axis to 128, which would waste VPU work on every chunk.
+    """
+    assert not cfg.cartesian_mode, 'overlap path is non-cartesian only'
+    assert cfg.d_edge == 0, 'overlap path does not support edge features'
+    dt = X_local.dtype
+    S = cfg.nSlices
+    n_chunks = max(1, min(n_chunks, S))
+    chunk = -(-S // n_chunks)
+    n_chunks = -(-S // chunk)
+    S_pad = chunk * n_chunks
+
+    Xp_local = X_local @ proj[:, :cfg.d_in].T                  # (R_shard, S)
+    Xp_local = jnp.pad(Xp_local, ((0, 0), (0, S_pad - S)))
+    f_pad = jnp.pad(freqs, (0, S_pad - S))
+
+    # issue every chunk's exchange up front (unrolled, NOT lax.map: a
+    # sequential map would serialize the collectives behind the compute)
+    gathered = [proj_gather_fn(Xp_local[:, k * chunk:(k + 1) * chunk])
+                for k in range(n_chunks)]
+
+    is_multi = isinstance(graph, MultiTable)
+    tables = graph.tables if is_multi else (graph,)
+    raws, wsums = [], []
+    for t in tables:
+        w = t.weight
+        w_sum = jnp.sum(w, axis=-1)
+        w_sum_padded = lowclamp(w_sum, cfg.total_mass_pad_thresh)
+        pad_norm = (lowclamp(cfg.total_mass_pad_thresh - w_sum, 0.0)
+                    / w_sum_padded)
+        wn = w / w_sum_padded[:, None]
+        if aggregate == 'auto' and chunk % 128 != 0:
+            agg = 'sort'
+        else:
+            agg = _resolve_aggregate(aggregate, cfg, t.bucket_size,
+                                     weights_grad)
+        cols = []
+        for k in range(n_chunks):
+            Pk = jnp.take(gathered[k], t.idx.reshape(-1), axis=0)
+            Pk = Pk.reshape(t.idx.shape + (chunk,))            # (R, B, chunk)
+            cols.append(bucket_quadrature(
+                Pk, wn, pad_norm, f_pad[k * chunk:(k + 1) * chunk], cfg,
+                agg, weights_grad))
+        raws.append(jnp.concatenate(cols, axis=1)[:, :S])
+        wsums.append(w_sum)
+
+    if not is_multi:
+        return _finalize(raws[0].astype(dt), wsums[0].astype(dt), cfg,
+                         bias, total_mass_scale)
+    R = graph.num_recipients
+    emb = jnp.zeros((R + 1, S), dt)
+    w_sum = jnp.zeros((R + 1,), dt)
+    for ids, raw, ws in zip(graph.row_ids, raws, wsums):
+        emb = emb.at[ids].set(raw.astype(dt))
+        w_sum = w_sum.at[ids].set(ws.astype(dt))
+    return _finalize(emb[:R], w_sum[:R], cfg, bias, total_mass_scale)
 
 
 def _chunk_quadrature(Pk, wn, pad_norm, f_k):

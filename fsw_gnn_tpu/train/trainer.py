@@ -63,7 +63,7 @@ class TrainConfig:
     slice_chunk: Optional[int] = None       # serialize slices to cap memory
     seed: int = 0
     num_devices: Optional[int] = None       # >1 -> edge-partitioned mesh
-    exchange: str = 'all_gather'            # 'all_gather' | 'all_to_all'
+    exchange: str = 'all_gather'   # 'all_gather' | 'all_to_all' | 'overlap'
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 50
     auto_resume: bool = True                # fit() restores the latest
