@@ -66,19 +66,20 @@ def _resolve_aggregate(aggregate: str, cfg, bucket_size: int,
     """Pick the table-path aggregation backend.
 
     'sort': XLA bitonic sort + cumsum (works everywhere, any dtype/mode).
-    'rank': fused Pallas weighted-rank kernel (TPU; non-cartesian only;
-            f32 compute).  On CPU it runs in interpret mode (tests).
+    'rank': fused Pallas weighted-rank kernel (TPU; f32 compute; cartesian
+            mode via fsw_rank_aggregate_cart, which shares the rank loop
+            across all frequencies).  On CPU it runs in interpret mode
+            (tests).
     'auto': 'rank' on TPU for non-cartesian tables with bucket_size <=
             the measured-crossover cap (see above), else 'sort'.
+            Cartesian stays on 'sort' under 'auto' until the cartesian
+            kernel's crossover is measured on hardware; request it
+            explicitly with aggregate='rank'.
     """
     if aggregate not in ('auto', 'sort', 'rank'):
         raise ValueError(f"aggregate must be 'auto'|'sort'|'rank', "
                          f"got {aggregate!r}")
     if aggregate != 'auto':
-        if aggregate == 'rank' and cfg.cartesian_mode:
-            raise ValueError("aggregate='rank' does not support cartesian "
-                             "mode (n_slices x n_freqs); use 'sort' or "
-                             "'auto'")
         return aggregate
     cap = (RANK_AGGREGATE_MAX_BUCKET if weights_grad
            else RANK_AGGREGATE_MAX_BUCKET_NO_DW)
@@ -448,6 +449,51 @@ def fsw_embed_graph_batched(X: jax.Array,
 # exactly 0 everywhere.
 # ---------------------------------------------------------------------------
 
+def bucket_quadrature(P: jax.Array, wn: jax.Array, pad_norm: jax.Array,
+                      f_block: jax.Array, cfg: FSWConfig, agg: str,
+                      weights_grad: bool = True) -> jax.Array:
+    """Per-neighborhood FSW aggregation on pre-gathered projections.
+
+    P (R, B, S_blk): per-entry projections of one neighbor-table class;
+    wn (R, B): normalized weights; pad_norm (R,): phantom-mass shift;
+    f_block: (S_blk,) frequencies (or (S_blk, F) in cartesian mode).
+    `agg` is a RESOLVED backend: 'rank' (fused Pallas kernel, non-cartesian
+    only) or 'sort' (XLA bitonic + cumsum).  Returns (R, S_blk) (or
+    (R, S_blk, F)).  Shared by the single-device table path and the
+    distributed slice-chunked overlap path (parallel/overlap.py).
+    """
+    if agg == 'rank':
+        # fused Pallas kernel: weighted ranks replace sort+cumsum, the
+        # quadrature and its backward stay VMEM-resident (f32 compute).
+        # In cartesian mode the B-step rank loop is shared by all F
+        # frequencies (f_block is the (S_blk, F) broadcast grid).
+        from .ops.fsw_rank_pallas import (fsw_rank_aggregate,
+                                          fsw_rank_aggregate_cart)
+        f32 = jnp.float32
+        krn = (fsw_rank_aggregate_cart if cfg.cartesian_mode
+               else fsw_rank_aggregate)
+        out = krn(
+            P.astype(f32), wn.astype(f32), pad_norm.astype(f32),
+            f_block.astype(f32), None,
+            jax.default_backend() == 'cpu', weights_grad)
+        return out.astype(P.dtype)                        # (R, S[, F])
+
+    # sort neighborhoods along the bucket axis per slice
+    keysB = jnp.moveaxis(P, 1, 2)                                  # (R, S, B)
+    ps, ws = sort_pairs_fused(
+        keysB, jnp.broadcast_to(wn[:, None, :], keysB.shape))
+    c = jnp.cumsum(ws, axis=2) + pad_norm[:, None, None] * (ps > 0)
+
+    if cfg.cartesian_mode:
+        sd = _sinc_diff(ws[..., None], c[..., None],
+                        f_block[:, None, :])                       # (R,S,B,F)
+        emb = jnp.einsum('rsb,rsbf->rsf', ps, sd)
+        return (1.0 + f_block) * emb                               # (R, S, F)
+    sd = _sinc_diff(ws, c, f_block[:, None])                       # (R, S, B)
+    emb = jnp.sum(ps * sd, axis=2)
+    return (1.0 + f_block) * emb                                   # (R, S)
+
+
 def fsw_embed_table(X: jax.Array,
                     table,
                     projVecs: jax.Array,
@@ -519,33 +565,8 @@ def fsw_embed_table(X: jax.Array,
             assert table.edge_feat is not None
             P = P + table.edge_feat @ proj_block[:, cfg.d_in:].T
 
-        if agg == 'rank' and not cfg.cartesian_mode:
-            # fused Pallas kernel: weighted ranks replace sort+cumsum, the
-            # quadrature and its backward stay VMEM-resident (f32 compute)
-            from .ops.fsw_rank_pallas import fsw_rank_aggregate
-            f32 = jnp.float32
-            out = fsw_rank_aggregate(
-                P.astype(f32), wn.astype(f32), pad_norm.astype(f32),
-                f_block.astype(f32), None,
-                jax.default_backend() == 'cpu', weights_grad)
-            return out.astype(P.dtype)                             # (R, S)
-
-        # sort neighborhoods along the bucket axis per slice
-        keysB = jnp.moveaxis(P, 1, 2)                              # (R, S, B)
-        ps, ws = sort_pairs_fused(
-            keysB, jnp.broadcast_to(wn[:, None, :], keysB.shape))
-        c = jnp.cumsum(ws, axis=2) + pad_norm[:, None, None] * (ps > 0)
-
-        if cfg.cartesian_mode:
-            sd = _sinc_diff(ws[..., None], c[..., None],
-                            f_block[:, None, :])                   # (R,S,B,F)
-            emb = jnp.einsum('rsb,rsbf->rsf', ps, sd)
-            emb = (1.0 + f_block) * emb                            # (R, S, F)
-        else:
-            sd = _sinc_diff(ws, c, f_block[:, None])               # (R, S, B)
-            emb = jnp.sum(ps * sd, axis=2)
-            emb = (1.0 + f_block) * emb                            # (R, S)
-        return emb
+        return bucket_quadrature(P, wn, pad_norm, f_block, cfg, agg,
+                                 weights_grad)
 
     S = cfg.nSlices
     if cfg.cartesian_mode:

@@ -627,3 +627,276 @@ def _fswp_bwd(tile_r, interpret, with_dw, res, g):
 
 
 fsw_rank_aggregate_proj.defvjp(_fswp_fwd, _fswp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Cartesian-mode variant: out[r, s, f] = (1 + F[s, f]) * sum_b P phi(w, c, F)
+# with a full nSlices x nFreqs frequency grid (the reference's cartesian
+# product mode, fsw_embedding.py:257, 999-1004).  The B-step rank loop runs
+# ONCE and is amortized over all F frequencies -- the kernel's relative
+# advantage over the sort path grows with F.  Frequencies ride as a (S, F)
+# matrix (rows usually identical) so per-slice frequency grids also work.
+# ---------------------------------------------------------------------------
+
+
+def _cart_row(freqT, j, S):
+    """Row j of the transposed (F_pad, S_pad) frequency matrix as a
+    broadcastable (1, 1, S_pad) value.  Two-step: value slice then reshape
+    (mixing a slice with None emits a Mosaic-rejected gather; reshape that
+    only inserts a unit dim keeps the lane dim intact)."""
+    return freqT[j:j + 1, :].reshape(1, 1, S)
+
+
+def _cart_common(p_ref, wn_ref, pad_ref):
+    P = p_ref[:]                                     # (TR, B, S)
+    wn = wn_ref[:]                                   # (TR, B)
+    TR, B, S = P.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (TR, B, S), 1)
+    c = _rank_c(P, wn, pos)
+    pad_b = jnp.broadcast_to(pad_ref[:][:, None, :], c.shape)
+    c = c + jnp.where(P > 0, pad_b, jnp.zeros_like(c))
+    ws = jnp.broadcast_to(wn[:, :, None], (TR, B, S))
+    return P, wn, ws, c, pos
+
+
+def _fwdc_kernel(n_freqs, p_ref, wn_ref, pad_ref, freq_ref, out_ref):
+    P, wn, ws, c, pos = _cart_common(p_ref, wn_ref, pad_ref)
+    TR, B, S = P.shape
+    F_pad = out_ref.shape[1]
+    rows = []
+    for j in range(F_pad):
+        if j >= n_freqs:
+            rows.append(jnp.zeros((TR, 1, S), P.dtype))
+            continue
+        f = _cart_row(freq_ref, j, S)                # (1, 1, S)
+        sinc_t, cos_t, _, _ = _trig(ws, c, f)
+        sd = 2.0 * ws * sinc_t * cos_t
+        q = jnp.sum(P * sd, axis=1, keepdims=True)   # (TR, 1, S)
+        rows.append((1.0 + f) * q)
+    out_ref[:] = jnp.concatenate(rows, axis=1)       # (TR, F_pad, S)
+
+
+def _bwdc_kernel(n_freqs, with_dw, p_ref, wn_ref, pad_ref, freq_ref, g_ref,
+                 *out_refs):
+    if with_dw:
+        dp_ref, dwn_ref, dpad_ref, df_ref = out_refs
+    else:
+        dp_ref, df_ref = out_refs
+    P, wn, ws, c, pos = _cart_common(p_ref, wn_ref, pad_ref)
+    TR, B, S = P.shape
+    g = g_ref[:]                                     # (TR, F_pad, S)
+    F_pad = g.shape[1]
+
+    dp = jnp.zeros((TR, B, S), P.dtype)
+    dc = jnp.zeros((TR, B, S), P.dtype)
+    dwn_direct = None
+    df_rows = []
+    for j in range(F_pad):
+        if j >= n_freqs:
+            df_rows.append(jnp.zeros((1, S), P.dtype))
+            continue
+        f = _cart_row(freq_ref, j, S)                # (1, 1, S)
+        g_j = g[:, j:j + 1, :]                       # (TR, 1, S)
+        sinc_t, cos_t, sin_t, cos_fw = _trig(ws, c, f)
+        sd = 2.0 * ws * sinc_t * cos_t               # phi
+        g1 = (1.0 + f) * g_j
+        dp = dp + g1 * sd
+        dc = dc + g1 * P * (-2.0 * TWO_PI) * f * ws * sinc_t * sin_t
+        if with_dw:
+            dphi_dw = (2.0 * cos_fw * cos_t +
+                       TWO_PI * f * ws * sinc_t * sin_t)
+            term = jnp.sum(g1 * P * dphi_dw, axis=2)  # (TR, B)
+            dwn_direct = term if dwn_direct is None else dwn_direct + term
+        # df[j, s] = sum_r g [ q + (1+f) sum_b P phi_f ]
+        fsafe = jnp.where(f == 0.0, jnp.ones_like(f), f)
+        phi_f = 2.0 * ws * (
+            jnp.where(f == 0.0, jnp.zeros_like(f),
+                      (cos_fw - sinc_t) / fsafe) * cos_t
+            - jnp.pi * (2.0 * c - ws) * sinc_t * sin_t)
+        q = jnp.sum(P * sd, axis=1, keepdims=True)   # (TR, 1, S)
+        inner = (g_j * (q + (1.0 + f) *
+                        jnp.sum(P * phi_f, axis=1, keepdims=True)))
+        df_rows.append(jnp.sum(inner, axis=0))       # (1, S)
+
+    dp_ref[:] = dp
+
+    if with_dw:
+        dpad_ref[:] = jnp.sum(
+            jnp.sum(jnp.where(P > 0, dc, jnp.zeros_like(dc)), axis=2),
+            axis=1, keepdims=True)
+        cols = []
+        for j in range(B):
+            pj = P[:, j:j + 1, :]
+            md = _masked(P, pj, pos, j, dc)
+            cols.append(jnp.sum(jnp.sum(md, axis=2), axis=1,
+                                keepdims=True))
+        dwn_ref[:] = dwn_direct + jnp.concatenate(cols, axis=1)
+
+    df_tile = jnp.concatenate(df_rows, axis=0)       # (F_pad, S)
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        df_ref[:] = jnp.zeros_like(df_ref)
+
+    df_ref[:] += df_tile
+
+
+def _pad_cart_args(P, wn, pad_norm, freqs, tile_r, lane=128):
+    """freqs: (S, F) per-slice frequency matrix -> transposed, padded
+    (F_pad, S_pad) for lane alignment."""
+    R, B, S = P.shape
+    F = freqs.shape[1]
+    R_pad = -(-R // tile_r) * tile_r
+    B_pad = -(-B // 8) * 8
+    S_pad = -(-S // lane) * lane
+    F_pad = -(-F // 8) * 8
+    if R_pad != R:
+        P = jnp.pad(P, ((0, R_pad - R), (0, 0), (0, 0)))
+        wn = jnp.pad(wn, ((0, R_pad - R), (0, 0)))
+        pad_norm = jnp.pad(pad_norm, (0, R_pad - R))
+    if B_pad != B:
+        P = jnp.pad(P, ((0, 0), (0, B_pad - B), (0, 0)))
+        wn = jnp.pad(wn, ((0, 0), (0, B_pad - B)))
+    if S_pad != S:
+        P = jnp.pad(P, ((0, 0), (0, 0), (0, S_pad - S)))
+    freqT = jnp.pad(freqs.T, ((0, F_pad - F), (0, S_pad - S)))
+    return P, wn, pad_norm.reshape(R_pad, 1), freqT
+
+
+def _pick_tile_cart(B, S_pad, F_pad, bwd: bool,
+                    budget_bytes=None):
+    """Row tile for the cartesian kernel: live VMEM ~ (rank arrays +
+    per-freq temporaries + the (TR, F, S) output/cotangent block)."""
+    arrays = (14 if bwd else 8)
+    budget = budget_bytes or (int(0.7 * VMEM_LIMIT_BYTES) if bwd
+                              else 8 * 1024 * 1024)
+    tr = 256
+    while tr > 8 and tr * S_pad * 4 * (arrays * B + 2 * F_pad) > budget:
+        tr //= 2
+    return tr
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fsw_rank_aggregate_cart(P, wn, pad_norm, freqs,
+                            tile_r: int | None = None,
+                            interpret: bool = False,
+                            with_dw: bool = True):
+    """Fused cartesian-mode FSW aggregation over a neighbor-table class.
+
+    P (R, B, S): per-entry projections; wn (R, B): normalized weights;
+    pad_norm (R,): phantom-mass shift; freqs (S, F): per-slice frequency
+    rows (usually identical -- the broadcast cartesian grid).  Returns
+    out (R, S, F) INCLUDING the (1 + f) factor, BEFORE collapse/total-mass
+    finalization.  The B-step rank loop runs once and is shared by all F
+    frequencies.  Differentiable in P, wn, pad_norm, freqs; with_dw=False
+    as in `fsw_rank_aggregate`.
+    """
+    return _fwdc_call(P, wn, pad_norm, freqs, tile_r, interpret)
+
+
+def _fwdc_call(P, wn, pad_norm, freqs, tile_r, interpret):
+    R, B, S = P.shape
+    F = freqs.shape[1]
+    S_pad = -(-S // 128) * 128
+    F_pad = -(-F // 8) * 8
+    tr = tile_r or _pick_tile_cart(B, S_pad, F_pad, bwd=False)
+    tr = min(tr, -(-max(8, R) // 8) * 8)  # sublane multiple (Mosaic req.)
+    Pp, wnp, padp, freqT = _pad_cart_args(P, wn, pad_norm, freqs, tr)
+    R_pad, B_pad, S_pad = Pp.shape
+    F_pad = freqT.shape[0]
+    in_specs = [
+        pl.BlockSpec((tr, B_pad, S_pad), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, B_pad), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((F_pad, S_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out = pl.pallas_call(
+        functools.partial(_fwdc_kernel, F),
+        grid=(R_pad // tr,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tr, F_pad, S_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R_pad, F_pad, S_pad), P.dtype),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(Pp, wnp, padp, freqT)
+    # kernel layout (R, F, S) -> API layout (R, S, F)
+    return jnp.moveaxis(out[:R, :F, :S], 1, 2)
+
+
+def _fswc_fwd(P, wn, pad_norm, freqs, tile_r, interpret, with_dw):
+    out = _fwdc_call(P, wn, pad_norm, freqs, tile_r, interpret)
+    return out, (P, wn, pad_norm, freqs)
+
+
+def _fswc_bwd(tile_r, interpret, with_dw, res, g):
+    P, wn, pad_norm, freqs = res
+    R, B, S = P.shape
+    F = freqs.shape[1]
+    S_pad = -(-S // 128) * 128
+    F_pad = -(-F // 8) * 8
+    tr = tile_r or _pick_tile_cart(B, S_pad, F_pad, bwd=True)
+    tr = min(tr, -(-max(8, R) // 8) * 8)  # sublane multiple (Mosaic req.)
+    Pp, wnp, padp, freqT = _pad_cart_args(P, wn, pad_norm, freqs, tr)
+    R_pad, B_pad, S_pad = Pp.shape
+    F_pad = freqT.shape[0]
+    # cotangent to kernel layout (R_pad, F_pad, S_pad)
+    gk = jnp.moveaxis(g, 2, 1)
+    gk = jnp.pad(gk, ((0, R_pad - R), (0, F_pad - F), (0, S_pad - S)))
+    in_specs = [
+        pl.BlockSpec((tr, B_pad, S_pad), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, B_pad), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((F_pad, S_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, F_pad, S_pad), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dp_spec = pl.BlockSpec((tr, B_pad, S_pad), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dwn_spec = pl.BlockSpec((tr, B_pad), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    dpad_spec = pl.BlockSpec((tr, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    df_spec = pl.BlockSpec((F_pad, S_pad), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    dp_shape = jax.ShapeDtypeStruct((R_pad, B_pad, S_pad), P.dtype)
+    dwn_shape = jax.ShapeDtypeStruct((R_pad, B_pad), P.dtype)
+    dpad_shape = jax.ShapeDtypeStruct((R_pad, 1), P.dtype)
+    df_shape = jax.ShapeDtypeStruct((F_pad, S_pad), P.dtype)
+    kern = functools.partial(_bwdc_kernel, F, with_dw)
+    if with_dw:
+        dp, dwn, dpad, dfT = pl.pallas_call(
+            kern,
+            grid=(R_pad // tr,),
+            in_specs=in_specs,
+            out_specs=(dp_spec, dwn_spec, dpad_spec, df_spec),
+            out_shape=(dp_shape, dwn_shape, dpad_shape, df_shape),
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(Pp, wnp, padp, freqT, gk)
+        return (dp[:R, :B, :S], dwn[:R, :B], dpad[:R, 0],
+                dfT[:F, :S].T)
+    dp, dfT = pl.pallas_call(
+        kern,
+        grid=(R_pad // tr,),
+        in_specs=in_specs,
+        out_specs=(dp_spec, df_spec),
+        out_shape=(dp_shape, df_shape),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(Pp, wnp, padp, freqT, gk)
+    return (dp[:R, :B, :S], jnp.zeros_like(wn), jnp.zeros_like(pad_norm),
+            dfT[:F, :S].T)
+
+
+fsw_rank_aggregate_cart.defvjp(_fswc_fwd, _fswc_bwd)

@@ -238,3 +238,87 @@ def test_with_dw_false_skips_weight_cotangents(proj):
         else:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-12, atol=0, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# Cartesian-mode kernel: one shared rank loop for all F frequencies.
+# ---------------------------------------------------------------------------
+
+from fsw_gnn_tpu.ops.fsw_rank_pallas import fsw_rank_aggregate_cart
+
+
+def _xla_cart_ref(P, wn, pad, freqs):
+    """Sort-path cartesian quadrature on pre-gathered projections
+    (embedding.bucket_quadrature cartesian branch); freqs (S, F)."""
+    keysB = jnp.moveaxis(P, 1, 2)                     # (R, S, B)
+    ps, ws = sort_pairs_fused(
+        keysB, jnp.broadcast_to(wn[:, None, :], keysB.shape))
+    c = jnp.cumsum(ws, axis=2) + pad[:, None, None] * (ps > 0)
+    f = freqs[:, None, :]                             # (S, 1, F)
+    sd = (2.0 * ws[..., None] * jnp.sinc(f * ws[..., None]) *
+          jnp.cos(jnp.pi * f * (2.0 * c[..., None] - ws[..., None])))
+    emb = jnp.einsum('rsb,rsbf->rsf', ps, sd)
+    return (1.0 + freqs) * emb
+
+
+def _rand_cart_args(rng, R, B, S, F, ties=False):
+    P, wn, pad, _ = _rand_args(rng, R, B, S, ties)
+    freqs = jnp.asarray(np.abs(rng.standard_normal((S, F))) + 0.1)
+    return P, wn, pad, freqs
+
+
+@pytest.mark.parametrize('R,B,S,F', [(5, 8, 6, 3), (17, 16, 130, 5),
+                                     (3, 32, 128, 9)])
+@pytest.mark.parametrize('ties', [False, True])
+def test_cart_forward_matches_xla(R, B, S, F, ties):
+    rng = np.random.default_rng(11)
+    P, wn, pad, freqs = _rand_cart_args(rng, R, B, S, F, ties)
+    got = fsw_rank_aggregate_cart(P, wn, pad, freqs, None, True)
+    want = _xla_cart_ref(P, wn, pad, freqs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-10, atol=1e-12)
+    assert got.shape == (R, S, F)
+
+
+@pytest.mark.parametrize('ties', [False, True])
+@pytest.mark.parametrize('with_dw', [True, False])
+def test_cart_backward_matches_xla(ties, with_dw):
+    rng = np.random.default_rng(12)
+    R, B, S, F = 7, 16, 10, 4
+    P, wn, pad, freqs = _rand_cart_args(rng, R, B, S, F, ties)
+
+    def loss_k(P, wn, pad, freqs):
+        out = fsw_rank_aggregate_cart(P, wn, pad, freqs, None, True,
+                                      with_dw)
+        return jnp.sum(jnp.sin(out) * jnp.cos(out * 0.7))
+
+    def loss_x(P, wn, pad, freqs):
+        out = _xla_cart_ref(P, wn, pad, freqs)
+        return jnp.sum(jnp.sin(out) * jnp.cos(out * 0.7))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(P, wn, pad, freqs)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3))(P, wn, pad, freqs)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gx[0]),
+                               rtol=1e-9, atol=1e-11)
+    if with_dw:
+        np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gx[1]),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(gk[2]), np.asarray(gx[2]),
+                                   rtol=1e-9, atol=1e-11)
+    else:
+        assert not np.any(np.asarray(gk[1]))
+        assert not np.any(np.asarray(gk[2]))
+    np.testing.assert_allclose(np.asarray(gk[3]), np.asarray(gx[3]),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_cart_zero_weight_padding_contributes_zero():
+    rng = np.random.default_rng(13)
+    R, B, S, F = 4, 8, 6, 3
+    P, wn, pad, freqs = _rand_cart_args(rng, R, B, S, F)
+    P2 = jnp.concatenate([P, rng.standard_normal((R, 5, S))], axis=1)
+    wn2 = jnp.concatenate([wn, jnp.zeros((R, 5))], axis=1)
+    a = fsw_rank_aggregate_cart(P, wn, pad, freqs, None, True)
+    b = fsw_rank_aggregate_cart(P2, wn2, pad, freqs, None, True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-12, atol=1e-13)

@@ -254,10 +254,10 @@ def test_rank_aggregate_multi_table_grads():
                                    rtol=5e-3, atol=5e-4)
 
 
-def test_rank_aggregate_rejects_cartesian():
-    """aggregate='rank' has no cartesian (n_slices x n_freqs) kernel; the
-    request must fail loudly instead of silently computing a wrong shape
-    ('auto' routes cartesian configs to the sort path)."""
+@pytest.mark.parametrize('slice_chunk', [None, 2])
+def test_rank_aggregate_cartesian_matches_sort(slice_chunk):
+    """Cartesian aggregate='rank' (fsw_rank_aggregate_cart: one shared rank
+    loop for all n_freqs) must reproduce the sort path exactly."""
     rng = np.random.default_rng(3)
     n, d_in = 24, 4
     cfg = FSWConfig(d_in=d_in, n_slices=5, n_freqs=3, enable_bias=False)
@@ -265,8 +265,20 @@ def test_rank_aggregate_rejects_cartesian():
     X = jnp.asarray(rng.standard_normal((n, d_in)))
     t = to_neighbor_table(from_edge_index(_random_graph(rng, n), n,
                                           dtype=jnp.float64))
-    with pytest.raises(ValueError, match='cartesian'):
-        fsw_embed_table(X, t, proj, freqs, cfg, aggregate='rank')
-    # 'auto' must still work (sort path)
-    out = fsw_embed_table(X, t, proj, freqs, cfg, aggregate='auto')
-    assert np.all(np.isfinite(np.asarray(out)))
+    a = fsw_embed_table(X, t, proj, freqs, cfg, aggregate='sort',
+                        slice_chunk=slice_chunk)
+    b = fsw_embed_table(X, t, proj, freqs, cfg, aggregate='rank',
+                        slice_chunk=slice_chunk)
+    # the rank kernel computes in f32 (in-kernel), the sort path here in f64
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=2e-4, atol=2e-5)
+
+    ga = jax.grad(lambda x, p, f: jnp.sum(jnp.cos(
+        fsw_embed_table(x, t, p, f, cfg, aggregate='sort') ** 2)),
+        argnums=(0, 1, 2))(X, proj, freqs)
+    gb = jax.grad(lambda x, p, f: jnp.sum(jnp.cos(
+        fsw_embed_table(x, t, p, f, cfg, aggregate='rank') ** 2)),
+        argnums=(0, 1, 2))(X, proj, freqs)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=2e-3, atol=2e-4)
