@@ -64,6 +64,7 @@ class TrainConfig:
     seed: int = 0
     num_devices: Optional[int] = None       # >1 -> edge-partitioned mesh
     exchange: str = 'all_gather'   # 'all_gather' | 'all_to_all' | 'overlap'
+    overlap_chunks: int = 4        # slice chunks for exchange='overlap'
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 50
     auto_resume: bool = True                # fit() restores the latest
@@ -139,11 +140,13 @@ class Trainer:
                 data.labels, data.train_mask.astype(np.float32), self.shards)
             self._step = make_distributed_train_step(
                 self.model, self.opt, self.shards, self.mesh,
-                fixed_collections=self.fixed, exchange=config.exchange)
+                fixed_collections=self.fixed, exchange=config.exchange,
+                overlap_chunks=config.overlap_chunks)
             # built ONCE: a fresh closure per predict() would retrace+
             # recompile on every evaluation (minutes per compile on TPU)
             self._fwd = make_distributed_forward(
-                self.model, self.shards, self.mesh, exchange=config.exchange)
+                self.model, self.shards, self.mesh, exchange=config.exchange,
+                overlap_chunks=config.overlap_chunks)
         else:
             self._step = self._make_single_step()
             model, graph = self.model, self.compute_graph
@@ -270,7 +273,8 @@ class Trainer:
                 self._step = make_distributed_train_step(
                     self.model, self.opt, self.shards, self.mesh,
                     fixed_collections=self.fixed,
-                    exchange=self.cfg.exchange)
+                    exchange=self.cfg.exchange,
+                    overlap_chunks=self.cfg.overlap_chunks)
             else:
                 self._step = self._make_single_step()
         self.step_count = step

@@ -151,3 +151,16 @@ def test_restore_rebuilds_train_step_with_restored_fixed(data, tmp_path,
     tr2.restore_checkpoint()
     l2b = tr2.train_epoch()           # resumed epoch 2
     np.testing.assert_allclose(l2b, l1b, rtol=1e-5)
+
+
+def test_overlap_exchange_trainer_matches_all_gather(data):
+    cfg = dict(hidden_dims=(8,), epochs=3, eval_every=10, seed=7,
+               num_devices=8)
+    tr_ag = Trainer(data, TrainConfig(**cfg, exchange='all_gather'))
+    tr_ov = Trainer(data, TrainConfig(**cfg, exchange='overlap',
+                                      overlap_chunks=3))
+    la = [tr_ag.train_epoch() for _ in range(3)]
+    lo = [tr_ov.train_epoch() for _ in range(3)]
+    np.testing.assert_allclose(lo, la, rtol=1e-5)
+    np.testing.assert_allclose(tr_ov.predict(), tr_ag.predict(),
+                               rtol=1e-4, atol=1e-5)
