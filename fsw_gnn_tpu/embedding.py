@@ -62,7 +62,8 @@ RANK_AGGREGATE_MAX_BUCKET_NO_DW = 128
 
 
 def _resolve_aggregate(aggregate: str, cfg, bucket_size: int,
-                       weights_grad: bool = True) -> str:
+                       weights_grad: bool = True,
+                       s_eff: Optional[int] = None) -> str:
     """Pick the table-path aggregation backend.
 
     'sort': XLA bitonic sort + cumsum (works everywhere, any dtype/mode).
@@ -72,20 +73,32 @@ def _resolve_aggregate(aggregate: str, cfg, bucket_size: int,
             (tests).
     'auto': 'rank' on TPU for non-cartesian tables with bucket_size <=
             the measured-crossover cap (see above), else 'sort'.
-            Cartesian stays on 'sort' under 'auto' until the cartesian
-            kernel's crossover is measured on hardware; request it
-            explicitly with aggregate='rank'.
+            Cartesian (measured on v5e, R=8192 B=32 F=8): the kernel pads
+            the slice axis to the 128-lane tile, so it wins only at full
+            lanes (S=128: 45 vs 57 ms fwd+bwd = 1.27x; S=16: 3.8x SLOWER)
+            and only with weights_grad=False -- the cartesian with_dw
+            backward (F-loop + transposed mask loop in one kernel) is
+            compile-pathological through Mosaic (>40 min; the no-dw
+            variant compiles in ~4 min).  Hence: cartesian 'auto' picks
+            'rank' iff weights_grad=False, bucket <= cap, and the per-call
+            slice width `s_eff` is >= 128.
     """
     if aggregate not in ('auto', 'sort', 'rank'):
         raise ValueError(f"aggregate must be 'auto'|'sort'|'rank', "
                          f"got {aggregate!r}")
     if aggregate != 'auto':
         return aggregate
+    if jax.default_backend() == 'cpu':
+        return 'sort'
     cap = (RANK_AGGREGATE_MAX_BUCKET if weights_grad
            else RANK_AGGREGATE_MAX_BUCKET_NO_DW)
-    if cfg.cartesian_mode or bucket_size > cap:
+    if cfg.cartesian_mode:
+        s = s_eff if s_eff is not None else cfg.nSlices
+        if (not weights_grad and bucket_size <= RANK_AGGREGATE_MAX_BUCKET_NO_DW
+                and s >= 128):
+            return 'rank'
         return 'sort'
-    if jax.default_backend() == 'cpu':
+    if bucket_size > cap:
         return 'sort'
     return 'rank'
 
@@ -519,8 +532,10 @@ def fsw_embed_table(X: jax.Array,
     """
     w = table.weight                                               # (R, B)
     dt = X.dtype
-    agg = _resolve_aggregate(aggregate, cfg, table.bucket_size,
-                             weights_grad)
+    agg = _resolve_aggregate(
+        aggregate, cfg, table.bucket_size, weights_grad,
+        s_eff=(cfg.nSlices if slice_chunk is None
+               else min(slice_chunk, cfg.nSlices)))
 
     w_sum = jnp.sum(w, axis=-1)                                    # (R,)
     w_sum_padded = lowclamp(w_sum, cfg.total_mass_pad_thresh)

@@ -636,6 +636,18 @@ fsw_rank_aggregate_proj.defvjp(_fswp_fwd, _fswp_bwd)
 # ONCE and is amortized over all F frequencies -- the kernel's relative
 # advantage over the sort path grows with F.  Frequencies ride as a (S, F)
 # matrix (rows usually identical) so per-slice frequency grids also work.
+#
+# Measured on v5e (R=8192, B=32, F=8, fwd+bwd in-scan):
+#   * S=128: kernel 45.1 ms vs sort 57.3 ms (1.27x) -- wins at full lanes;
+#   * S=16:  kernel 45.5 ms vs sort 12.1 ms -- the 128-lane padding of the
+#     slice axis makes the kernel cost S-independent below a lane tile, so
+#     narrow-S cartesian configs should use the sort path;
+#   * COMPILE PATHOLOGY: the with_dw=True backward (per-freq trig loop +
+#     transposed-mask loop in one kernel) takes >40 min through the
+#     remote Mosaic pipeline; the with_dw=False backward compiles in ~4
+#     min.  aggregate='auto' therefore only selects this kernel with
+#     weights_grad=False (embedding._resolve_aggregate); with_dw=True
+#     remains available opt-in and is covered by interpret-mode tests.
 # ---------------------------------------------------------------------------
 
 

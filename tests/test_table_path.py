@@ -282,3 +282,26 @@ def test_rank_aggregate_cartesian_matches_sort(slice_chunk):
     for x, y in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(y), np.asarray(x),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_auto_resolution_rules(monkeypatch):
+    """aggregate='auto' backend selection, incl. the measured cartesian
+    rules (rank only with weights_grad=False, bucket <= cap, slice width
+    >= the 128-lane tile)."""
+    from fsw_gnn_tpu import embedding as E
+    monkeypatch.setattr(E.jax, 'default_backend', lambda: 'tpu')
+    cart = FSWConfig(d_in=4, n_slices=128, n_freqs=8, enable_bias=False)
+    assert E._resolve_aggregate('auto', cart, 32, weights_grad=False) == 'rank'
+    assert E._resolve_aggregate('auto', cart, 32, weights_grad=True) == 'sort'
+    assert E._resolve_aggregate('auto', cart, 32, weights_grad=False,
+                                s_eff=64) == 'sort'
+    assert E._resolve_aggregate('auto', cart, 256,
+                                weights_grad=False) == 'sort'
+    plain = FSWConfig(d_in=4, d_out=16, enable_bias=False)
+    assert E._resolve_aggregate('auto', plain, 32) == 'rank'
+    assert E._resolve_aggregate('auto', plain, 96,
+                                weights_grad=True) == 'sort'
+    assert E._resolve_aggregate('auto', plain, 96,
+                                weights_grad=False) == 'rank'
+    monkeypatch.setattr(E.jax, 'default_backend', lambda: 'cpu')
+    assert E._resolve_aggregate('auto', plain, 32) == 'sort'
