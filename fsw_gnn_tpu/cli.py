@@ -47,6 +47,9 @@ def _add_train_args(p):
     p.add_argument('--metrics-path', default=None,
                    help='append per-epoch metrics to this JSONL file')
     p.add_argument('--trace-dir', default=None)
+    p.add_argument('--compilation-cache', default=None, metavar='DIR',
+                   help='persist compiled XLA executables on disk '
+                        '(minutes-long TPU compiles become one-time)')
     p.add_argument('--minibatch', action='store_true',
                    help='neighbor-sampled minibatch training')
     p.add_argument('--batch-size', type=int, default=512)
@@ -57,6 +60,10 @@ def _add_train_args(p):
 def cmd_train(args) -> int:
     from .data.datasets import load
     from .train import TrainConfig, Trainer
+
+    if args.compilation_cache:
+        from .utils import enable_compilation_cache
+        enable_compilation_cache(args.compilation_cache)
 
     data = load(args.dataset)
     cfg = TrainConfig(
