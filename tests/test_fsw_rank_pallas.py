@@ -322,3 +322,66 @@ def test_cart_zero_weight_padding_contributes_zero():
     b = fsw_rank_aggregate_cart(P2, wn2, pad, freqs, None, True)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                rtol=1e-12, atol=1e-13)
+
+
+# ---------------------------------------------------------------------------
+# Cross-backend fuzz: the rank kernels (plain + cartesian, fwd and grads)
+# must agree with the sort path on random configurations, including exact
+# key ties and with_dw variants.
+# ---------------------------------------------------------------------------
+
+from fsw_gnn_tpu.embedding import FSWConfig, bucket_quadrature
+
+
+@pytest.mark.parametrize('trial', range(12))
+def test_fuzz_rank_vs_sort(trial):
+    rng = np.random.default_rng(1000 + trial)
+    R = int(rng.integers(2, 20))
+    B = 2 * int(rng.integers(1, 20))   # even: the ties helper pairs rows
+    cart = bool(rng.integers(0, 2))
+    S = int(rng.integers(1, 40))
+    F = int(rng.integers(1, 9)) if cart else None
+    ties = bool(rng.integers(0, 2))
+    with_dw = bool(rng.integers(0, 2))
+    P, wn, pad, _ = _rand_args(rng, R, B, S, ties)
+    if cart:
+        cfg = FSWConfig(d_in=3, n_slices=S, n_freqs=F, enable_bias=False)
+        freqs = jnp.asarray(np.abs(rng.standard_normal((S, F))) + 0.05)
+    else:
+        cfg = FSWConfig(d_in=3, d_out=S, enable_bias=False)
+        freqs = jnp.asarray(np.abs(rng.standard_normal(S)) + 0.05)
+
+    # call the kernels directly (f64 interpret) rather than through
+    # bucket_quadrature, whose rank branch casts to f32 by design
+    krn = fsw_rank_aggregate_cart if cart else fsw_rank_aggregate
+
+    def run(agg):
+        def loss(P, wn, pad, freqs):
+            if agg == 'rank':
+                out = krn(P, wn, pad, freqs, None, True, with_dw)
+            else:
+                out = bucket_quadrature(P, wn, pad, freqs, cfg, 'sort',
+                                        weights_grad=with_dw)
+            return jnp.sum(jnp.sin(out)), out
+        (v, out), g = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3), has_aux=True)(P, wn, pad, freqs)
+        return out, v, g
+
+    out_s, v_s, g_s = run('sort')
+    out_r, v_r, g_r = run('rank')
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_s),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(float(v_r), float(v_s), rtol=1e-10)
+    # dP and dfreqs always; dwn/dpad only when the kernel computes them
+    np.testing.assert_allclose(np.asarray(g_r[0]), np.asarray(g_s[0]),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_r[3]), np.asarray(g_s[3]),
+                               rtol=1e-8, atol=1e-10)
+    if with_dw:
+        np.testing.assert_allclose(np.asarray(g_r[1]), np.asarray(g_s[1]),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(g_r[2]), np.asarray(g_s[2]),
+                                   rtol=1e-8, atol=1e-10)
+    else:
+        assert not np.any(np.asarray(g_r[1]))
+        assert not np.any(np.asarray(g_r[2]))
