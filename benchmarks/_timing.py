@@ -16,10 +16,15 @@ Usage:
     dt = time.perf_counter() - t0
 """
 import jax
-import numpy as np
+import jax.numpy as jnp
 
 
 def readback(x) -> float:
-    """Transfer one scalar of `x` (any pytree of arrays) to the host."""
+    """Transfer ONE scalar of `x` (any pytree of arrays) to the host.
+
+    The scalar is sliced on-device first: transferring the whole leaf
+    would put a potentially-multi-MB device-to-host copy inside the timed
+    region (the slice op itself depends on the leaf's producer, so the
+    barrier semantics are preserved)."""
     leaf = jax.tree_util.tree_leaves(x)[0]
-    return float(np.asarray(leaf).ravel()[0])
+    return float(jnp.ravel(leaf)[0])

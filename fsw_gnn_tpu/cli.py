@@ -61,9 +61,6 @@ def cmd_train(args) -> int:
     from .data.datasets import load
     from .train import TrainConfig, Trainer
 
-    if args.compilation_cache:
-        from .utils import enable_compilation_cache
-        enable_compilation_cache(args.compilation_cache)
 
     data = load(args.dataset)
     cfg = TrainConfig(
@@ -78,7 +75,8 @@ def cmd_train(args) -> int:
         checkpoint_dir=args.checkpoint_dir,
         auto_resume=not args.no_auto_resume,
         metrics_path=args.metrics_path,
-        trace_dir=args.trace_dir)
+        trace_dir=args.trace_dir,
+        compilation_cache=args.compilation_cache)
 
     if args.minibatch:
         from .train.minibatch import MinibatchTrainer

@@ -90,14 +90,23 @@ def _resolve_aggregate(aggregate: str, cfg, bucket_size: int,
         return aggregate
     if jax.default_backend() == 'cpu':
         return 'sort'
-    cap = (RANK_AGGREGATE_MAX_BUCKET if weights_grad
-           else RANK_AGGREGATE_MAX_BUCKET_NO_DW)
+    # lane-padding waste rule (unified for both modes and the distributed
+    # overlap path, which passes s_eff=chunk): the kernel pads the slice
+    # axis to the 128-lane tile, so its cost is S-independent below one
+    # tile (measured: flat 45 ms at S=16 and S=128 cartesian).  Above
+    # ~1.6x padding waste the measured kernel margins (1.27x cartesian,
+    # 2.6x non-cartesian) are gone.
+    s = s_eff if s_eff is not None else cfg.nSlices
+    s_pad = -(-s // 128) * 128
+    if s_pad > 1.6 * s:
+        return 'sort'
     if cfg.cartesian_mode:
-        s = s_eff if s_eff is not None else cfg.nSlices
-        if (not weights_grad and bucket_size <= RANK_AGGREGATE_MAX_BUCKET_NO_DW
-                and s >= 128):
+        if (not weights_grad
+                and bucket_size <= RANK_AGGREGATE_MAX_BUCKET_NO_DW):
             return 'rank'
         return 'sort'
+    cap = (RANK_AGGREGATE_MAX_BUCKET if weights_grad
+           else RANK_AGGREGATE_MAX_BUCKET_NO_DW)
     if bucket_size > cap:
         return 'sort'
     return 'rank'
@@ -480,6 +489,15 @@ def bucket_quadrature(P: jax.Array, wn: jax.Array, pad_norm: jax.Array,
         # quadrature and its backward stay VMEM-resident (f32 compute).
         # In cartesian mode the B-step rank loop is shared by all F
         # frequencies (f_block is the (S_blk, F) broadcast grid).
+        if (cfg.cartesian_mode and weights_grad
+                and jax.default_backend() != 'cpu'):
+            raise ValueError(
+                "aggregate='rank' with cartesian mode and "
+                "weights_grad=True is disabled on TPU: the with_dw "
+                "cartesian backward kernel is compile-pathological "
+                "(>40 min through Mosaic; BENCH.md).  Use "
+                "weights_grad=False (the GNN-adjacency case) or "
+                "aggregate='sort'.")
         from .ops.fsw_rank_pallas import (fsw_rank_aggregate,
                                           fsw_rank_aggregate_cart)
         f32 = jnp.float32

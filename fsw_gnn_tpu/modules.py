@@ -108,10 +108,15 @@ class FSWEmbedding(nn.Module):
                 assert isinstance(graph, (MultiTable, NeighborTable)), (
                     'the overlap exchange needs a (Multi)Table layout')
                 from .parallel.overlap import fsw_embed_local_overlap
+                # the overlap's slice chunking IS slice serialization: honor
+                # a tighter slice_chunk memory cap by raising n_chunks
+                n_chunks = exchange_chunks
+                if slice_chunk is not None:
+                    n_chunks = max(n_chunks, -(-cfg.nSlices // slice_chunk))
                 return fsw_embed_local_overlap(
                     X, graph, proj, freqs, cfg,
                     proj_gather_fn=proj_gather_fn,
-                    n_chunks=exchange_chunks, bias=bias,
+                    n_chunks=n_chunks, bias=bias,
                     total_mass_scale=tm_scale, aggregate=aggregate,
                     weights_grad=weights_grad)
             if isinstance(graph, MultiTable):

@@ -778,10 +778,15 @@ def _pad_cart_args(P, wn, pad_norm, freqs, tile_r, lane=128):
 
 
 def _pick_tile_cart(B, S_pad, F_pad, bwd: bool,
-                    budget_bytes=None):
+                    with_dw: bool = False, budget_bytes=None):
     """Row tile for the cartesian kernel: live VMEM ~ (rank arrays +
-    per-freq temporaries + the (TR, F, S) output/cotangent block)."""
-    arrays = (14 if bwd else 8)
+    per-freq temporaries + the (TR, F, S) output/cotangent block).
+    The no-dw backward model (14 arrays) is validated on HW (B=32,
+    S_pad=128 ran at the default tile); the with_dw backward adds the
+    transposed-mask loop, so it uses the non-cart backward's measured
+    ~105-live-array model (it is TPU-gated anyway -- compile pathology,
+    see the section comment)."""
+    arrays = (105 if (bwd and with_dw) else 14 if bwd else 8)
     budget = budget_bytes or (int(0.7 * VMEM_LIMIT_BYTES) if bwd
                               else 8 * 1024 * 1024)
     tr = 256
@@ -853,7 +858,8 @@ def _fswc_bwd(tile_r, interpret, with_dw, res, g):
     F = freqs.shape[1]
     S_pad = -(-S // 128) * 128
     F_pad = -(-F // 8) * 8
-    tr = tile_r or _pick_tile_cart(B, S_pad, F_pad, bwd=True)
+    tr = tile_r or _pick_tile_cart(B, S_pad, F_pad, bwd=True,
+                                   with_dw=with_dw)
     tr = min(tr, -(-max(8, R) // 8) * 8)  # sublane multiple (Mosaic req.)
     Pp, wnp, padp, freqT = _pad_cart_args(P, wn, pad_norm, freqs, tr)
     R_pad, B_pad, S_pad = Pp.shape

@@ -106,11 +106,10 @@ def fsw_embed_local_overlap(X_local: jax.Array,
         pad_norm = (lowclamp(cfg.total_mass_pad_thresh - w_sum, 0.0)
                     / w_sum_padded)
         wn = w / w_sum_padded[:, None]
-        if aggregate == 'auto' and chunk % 128 != 0:
-            agg = 'sort'
-        else:
-            agg = _resolve_aggregate(aggregate, cfg, t.bucket_size,
-                                     weights_grad)
+        # s_eff=chunk lets the shared lane-padding waste rule decide
+        # whether the rank kernel pays off at this chunk width
+        agg = _resolve_aggregate(aggregate, cfg, t.bucket_size,
+                                 weights_grad, s_eff=chunk)
         cols = []
         for k in range(n_chunks):
             Pk = jnp.take(gathered[k], t.idx.reshape(-1), axis=0)

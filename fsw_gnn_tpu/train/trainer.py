@@ -75,12 +75,19 @@ class TrainConfig:
                                             # JSON lines (structured export
                                             # for external observability)
     trace_dir: Optional[str] = None         # jax.profiler trace output
+    compilation_cache: Optional[str] = None  # persist compiled XLA
+                                             # executables at this dir
+                                             # (minutes-long TPU compiles
+                                             # become one-time per machine)
 
 
 class Trainer:
     def __init__(self, data: NodeClassificationData, config: TrainConfig):
         self.data = data
         self.cfg = config
+        if config.compilation_cache:
+            from ..utils import enable_compilation_cache
+            enable_compilation_cache(config.compilation_cache)
         self.graph = from_edge_index(data.edge_index, data.num_nodes,
                                      dtype=jnp.float32)
         # single-device compute uses the faster layout for this degree
@@ -265,6 +272,11 @@ class Trainer:
         self.opt_state = restored['opt_state']
         self.batch_stats = restored.get('batch_stats', {}) or {}
         old_fixed, self.fixed = self.fixed, restored['fixed']
+        # the restored step's on-disk entry is exactly this state: a
+        # same-step save would rewrite identical data, so mark it written
+        # (this also keeps save_checkpoint's delete-then-save replacement
+        # path off the entry we just resumed from)
+        self._last_saved_step = step
         if not _trees_equal(old_fixed, self.fixed):
             # the compiled train step closed over the init-time fixed
             # collections; rebuild it so training uses the RESTORED

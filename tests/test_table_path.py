@@ -297,11 +297,16 @@ def test_auto_resolution_rules(monkeypatch):
                                 s_eff=64) == 'sort'
     assert E._resolve_aggregate('auto', cart, 256,
                                 weights_grad=False) == 'sort'
-    plain = FSWConfig(d_in=4, d_out=16, enable_bias=False)
+    plain = FSWConfig(d_in=4, d_out=127, enable_bias=False)
     assert E._resolve_aggregate('auto', plain, 32) == 'rank'
     assert E._resolve_aggregate('auto', plain, 96,
                                 weights_grad=True) == 'sort'
     assert E._resolve_aggregate('auto', plain, 96,
                                 weights_grad=False) == 'rank'
+    # lane-padding waste rule: the kernel's cost is S-independent below a
+    # 128-lane tile, so narrow slice widths route to sort (both modes)
+    assert E._resolve_aggregate('auto', plain, 32, s_eff=16) == 'sort'
+    narrow = FSWConfig(d_in=4, d_out=16, enable_bias=False)
+    assert E._resolve_aggregate('auto', narrow, 32) == 'sort'
     monkeypatch.setattr(E.jax, 'default_backend', lambda: 'cpu')
     assert E._resolve_aggregate('auto', plain, 32) == 'sort'
