@@ -90,24 +90,32 @@ def _resolve_aggregate(aggregate: str, cfg, bucket_size: int,
         return aggregate
     if jax.default_backend() == 'cpu':
         return 'sort'
-    # lane-padding waste rule (unified for both modes and the distributed
-    # overlap path, which passes s_eff=chunk): the kernel pads the slice
-    # axis to the 128-lane tile, so its cost is S-independent below one
-    # tile (measured: flat 45 ms at S=16 and S=128 cartesian).  Above
-    # ~1.6x padding waste the measured kernel margins (1.27x cartesian,
-    # 2.6x non-cartesian) are gone.
+    # Lane-padding waste rule (shared with the distributed overlap path,
+    # which passes s_eff=chunk): the kernel pads the slice axis to the
+    # 128-lane tile, so its cost is flat below one tile (measured: 45 ms
+    # at S=16 and at S=128, cartesian) while the sort path scales with the
+    # true S.  The kernel therefore wins iff margin_at_full_lanes * S /
+    # S_pad > 1, with measured full-lane margins: non-cartesian no-dw
+    # 2.3-2.6x (B=32..128), non-cartesian with-dw 1.59x (B=32) / 1.13x
+    # (B=64), cartesian no-dw 1.27x.  Thresholds below carry ~10% safety.
+    # Empirical anchor: embed_dim=64 (S=63, waste 2.03x) measured 1.7x
+    # FASTER on the rank kernel at arxiv scale -- a flat 1.6x waste cutoff
+    # regressed that config to the sort path (325 vs 192 ms/step).
     s = s_eff if s_eff is not None else cfg.nSlices
-    s_pad = -(-s // 128) * 128
-    if s_pad > 1.6 * s:
-        return 'sort'
+    waste = (-(-s // 128) * 128) / max(s, 1)
     if cfg.cartesian_mode:
         if (not weights_grad
-                and bucket_size <= RANK_AGGREGATE_MAX_BUCKET_NO_DW):
+                and bucket_size <= RANK_AGGREGATE_MAX_BUCKET_NO_DW
+                and waste <= 1.2):
             return 'rank'
         return 'sort'
-    cap = (RANK_AGGREGATE_MAX_BUCKET if weights_grad
-           else RANK_AGGREGATE_MAX_BUCKET_NO_DW)
-    if bucket_size > cap:
+    if not weights_grad:
+        if bucket_size <= RANK_AGGREGATE_MAX_BUCKET_NO_DW and waste <= 2.2:
+            return 'rank'
+        return 'sort'
+    if bucket_size > RANK_AGGREGATE_MAX_BUCKET:
+        return 'sort'
+    if waste > (1.4 if bucket_size <= 32 else 1.05):
         return 'sort'
     return 'rank'
 

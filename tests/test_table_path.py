@@ -303,9 +303,18 @@ def test_auto_resolution_rules(monkeypatch):
                                 weights_grad=True) == 'sort'
     assert E._resolve_aggregate('auto', plain, 96,
                                 weights_grad=False) == 'rank'
-    # lane-padding waste rule: the kernel's cost is S-independent below a
-    # 128-lane tile, so narrow slice widths route to sort (both modes)
+    # lane-padding waste rule: kernel cost is flat below a 128-lane tile,
+    # so it wins only while margin_at_full_lanes * S / S_pad > 1; the
+    # no-dw margin (2.3-2.6x) tolerates waste 2.2x (embed 64 -> S=63 must
+    # stay on the kernel: measured 1.7x faster), the with-dw and cartesian
+    # margins do not
+    assert E._resolve_aggregate('auto', plain, 32, weights_grad=False,
+                                s_eff=63) == 'rank'
+    assert E._resolve_aggregate('auto', plain, 32, weights_grad=True,
+                                s_eff=63) == 'sort'
     assert E._resolve_aggregate('auto', plain, 32, s_eff=16) == 'sort'
+    assert E._resolve_aggregate('auto', cart, 32, weights_grad=False,
+                                s_eff=63) == 'sort'
     narrow = FSWConfig(d_in=4, d_out=16, enable_bias=False)
     assert E._resolve_aggregate('auto', narrow, 32) == 'sort'
     monkeypatch.setattr(E.jax, 'default_backend', lambda: 'cpu')
