@@ -35,23 +35,42 @@ def main():
 
     points = BATCH * N
 
-    @jax.jit
     def fwd(X, W):
-        return fsw_embed_multiset(X, W, proj, freqs, cfg)
+        return jnp.sum(fsw_embed_multiset(X, W, proj, freqs, cfg))
 
-    @jax.jit
     def fwd_bwd(X, W):
-        return jax.grad(lambda x, w: fsw_embed_multiset(
+        gx, gw = jax.grad(lambda x, w: fsw_embed_multiset(
             x, w, proj, freqs, cfg).sum(), argnums=(0, 1))(X, W)
+        return jnp.sum(gx) + jnp.sum(gw)
+
+    # steps loop inside one jit (lax.scan); each step's INPUT depends on
+    # the previous step's output (Xc += 1e-20*v), otherwise XLA hoists the
+    # loop-invariant embed out of the scan and the timing is garbage
+    # (observed: 0.236 ms/step = a hoisted single evaluation)
+    def make_run(f, length):
+        def body(carry, _):
+            Xc, acc = carry
+            v = f(Xc, W)
+            return (Xc + 1e-20 * v, acc + v), None
+
+        @jax.jit
+        def run(X):
+            (_, acc), _ = jax.lax.scan(body, (X, 0.0), None, length=length)
+            return acc
+        return run
 
     for name, f in [('multiset_fwd', fwd), ('multiset_fwd_bwd', fwd_bwd)]:
-        readback(f(X, W))                 # compile + drain the queue
+        run_n, run_1 = make_run(f, ITERS), make_run(f, 1)
+        readback(run_n(X)), readback(run_1(X))   # compile + drain
         t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = f(X, W)
-        readback(out)                     # readback barrier
-        dt = (time.perf_counter() - t0) / ITERS
-        print(json.dumps({'case': name, 'ms': round(dt * 1e3, 2),
+        out = run_n(X)
+        readback(out)
+        dt_n = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        readback(run_1(X))
+        dt_1 = time.perf_counter() - t0          # dispatch differencing
+        dt = max(dt_n - dt_1, 1e-9) / (ITERS - 1)
+        print(json.dumps({'case': name, 'ms': round(dt * 1e3, 3),
                           'points_per_s': round(points / dt),
                           'embeddings_per_s': round(BATCH / dt)}), flush=True)
 
