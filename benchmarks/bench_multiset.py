@@ -17,6 +17,8 @@ N = int(os.environ.get('FSW_MS_N', 256))
 D = int(os.environ.get('FSW_MS_D', 32))
 EMBED = int(os.environ.get('FSW_MS_EMBED', 512))
 ITERS = int(os.environ.get('FSW_MS_ITERS', 20))
+AGG = os.environ.get('FSW_MS_AGG', 'auto')      # auto | sort | rank
+UNIT_W = os.environ.get('FSW_MS_UNITW', '0') == '1'  # W=None (unit weights)
 
 
 def main():
@@ -35,12 +37,21 @@ def main():
 
     points = BATCH * N
 
-    def fwd(X, W):
-        return jnp.sum(fsw_embed_multiset(X, W, proj, freqs, cfg))
+    if UNIT_W:
+        W = None
 
-    def fwd_bwd(X, W):
+    def fwd(X, _):
+        return jnp.sum(fsw_embed_multiset(X, W, proj, freqs, cfg,
+                                          aggregate=AGG))
+
+    def fwd_bwd(X, _):
+        if UNIT_W:
+            gx = jax.grad(lambda x: fsw_embed_multiset(
+                x, None, proj, freqs, cfg, aggregate=AGG).sum())(X)
+            return jnp.sum(gx)
         gx, gw = jax.grad(lambda x, w: fsw_embed_multiset(
-            x, w, proj, freqs, cfg).sum(), argnums=(0, 1))(X, W)
+            x, w, proj, freqs, cfg, aggregate=AGG).sum(),
+            argnums=(0, 1))(X, W)
         return jnp.sum(gx) + jnp.sum(gw)
 
     # steps loop inside one jit (lax.scan); each step's INPUT depends on

@@ -274,7 +274,9 @@ def fsw_embed_multiset(X: jax.Array,
                        bias: Optional[jax.Array] = None,
                        total_mass_scale: Optional[jax.Array] = None,
                        w_mode: str = 'unit',
-                       slice_chunk: Optional[int] = None) -> jax.Array:
+                       slice_chunk: Optional[int] = None,
+                       aggregate: str = 'auto',
+                       weights_grad: bool = True) -> jax.Array:
     """Embed batched weighted multisets.
 
     X: (..., n, d_in); W: (..., n) nonnegative, or None with
@@ -282,12 +284,24 @@ def fsw_embed_multiset(X: jax.Array,
     Returns (..., d_out) -- or (..., nSlices, nFreqs) in non-collapsed
     cartesian mode.  `slice_chunk` serializes the slice axis to cap peak
     memory (the reference's serialize_num_slices, fsw_embedding.py:839-851).
+
+    `aggregate`: each multiset is one full-width "neighborhood" of n
+    entries, so small multisets (n within the rank-kernel bucket caps) can
+    aggregate via the fused Pallas rank kernel instead of the sort -- same
+    crossover rules as the table path (`_resolve_aggregate`, bucket=n).
+    When W is None the synthesized weights are constants and the kernel's
+    weight-cotangent loop is skipped automatically.
     """
     n = X.shape[-2]
     dt = X.dtype
     if W is None:
         W = jnp.ones(X.shape[:-1], dt) if w_mode == 'unit' else \
             jnp.full(X.shape[:-1], 1.0 / n, dt)
+        weights_grad = False   # synthesized constants: never differentiated
+
+    s_eff = cfg.nSlices if slice_chunk is None else min(slice_chunk,
+                                                        cfg.nSlices)
+    agg = _resolve_aggregate(aggregate, cfg, n, weights_grad, s_eff=s_eff)
 
     w_sum = jnp.sum(W, axis=-1)                                   # (...,)
     w_sum_padded = lowclamp(w_sum, cfg.total_mass_pad_thresh)
@@ -297,6 +311,17 @@ def fsw_embed_multiset(X: jax.Array,
     def slices_block(V_block, f_block):
         """V_block: (S_blk, d_in) slice vectors; f_block: (S_blk,) or (F,)."""
         Xp = jnp.einsum('...nd,sd->...ns', X, V_block)             # (..., n, Sb)
+        if agg == 'rank':
+            lead = Xp.shape[:-2]
+            P = Xp.reshape((-1, n, Xp.shape[-1]))                  # (R, n, Sb)
+            fb = f_block
+            if cfg.cartesian_mode and fb.ndim == 1:
+                # quadrature expects the (S_blk, F) broadcast grid
+                fb = jnp.broadcast_to(fb, (Xp.shape[-1],) + fb.shape)
+            out = bucket_quadrature(
+                P, wn.reshape(-1, n), pad_norm.reshape(-1), fb,
+                cfg, 'rank', weights_grad)
+            return out.reshape(lead + out.shape[1:])   # (..., Sb[, F])
         keys = jnp.moveaxis(Xp, -2, -1)                            # (..., Sb, n)
         ps, ws = sort_pairs_fused(
             keys, jnp.broadcast_to(wn[..., None, :], keys.shape))

@@ -142,4 +142,6 @@ class FSWEmbedding(nn.Module):
                                          slice_chunk=slice_chunk)
         return fsw_embed_multiset(X, W, proj, freqs, cfg, bias=bias,
                                   total_mass_scale=tm_scale, w_mode=w_mode,
-                                  slice_chunk=slice_chunk)
+                                  slice_chunk=slice_chunk,
+                                  aggregate=aggregate,
+                                  weights_grad=weights_grad)

@@ -477,3 +477,46 @@ def test_batched_sparse_graph_mode():
                                bias=jnp.asarray(bias))
         np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
                                    rtol=1e-10, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Multiset aggregate='rank': each multiset is one full-width neighborhood,
+# so small multisets route through the fused rank kernel.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('cartesian', [False, True])
+@pytest.mark.parametrize('explicit_w', [True, False])
+def test_multiset_rank_matches_sort(cartesian, explicit_w):
+    rng = np.random.default_rng(17)
+    B, n, d = 6, 12, 4
+    if cartesian:
+        cfg = FSWConfig(d_in=d, n_slices=5, n_freqs=3, enable_bias=False)
+    else:
+        cfg = FSWConfig(d_in=d, d_out=9, enable_bias=False)
+    proj = jnp.asarray(rng.standard_normal((cfg.nSlices, d)))
+    proj = proj / jnp.linalg.norm(proj, axis=1, keepdims=True)
+    freqs = jnp.asarray(np.abs(rng.standard_normal(cfg.nFreqs)) + 0.1)
+    X = jnp.asarray(rng.standard_normal((B, n, d)))
+    W = (jnp.asarray(np.abs(rng.standard_normal((B, n))))
+         if explicit_w else None)
+
+    a = fsw_embed_multiset(X, W, proj, freqs, cfg, aggregate='sort')
+    b = fsw_embed_multiset(X, W, proj, freqs, cfg, aggregate='rank')
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=2e-4, atol=2e-5)
+
+    if explicit_w and cartesian:
+        return  # with_dw cartesian rank is TPU-gated; CPU grads still fine
+    args = (X,) if W is None else (X, W)
+
+    def loss(agg):
+        def f(*a):
+            Wa = None if W is None else a[1]
+            out = fsw_embed_multiset(a[0], Wa, proj, freqs, cfg,
+                                     aggregate=agg)
+            return jnp.sum(jnp.sin(out))
+        return jax.grad(f, argnums=tuple(range(len(args))))(*args)
+
+    for ga, gb in zip(loss('sort'), loss('rank')):
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   rtol=2e-3, atol=2e-4)
