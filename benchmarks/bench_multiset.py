@@ -80,7 +80,7 @@ def main():
         t0 = time.perf_counter()
         readback(run_1(X))
         dt_1 = time.perf_counter() - t0          # dispatch differencing
-        dt = max(dt_n - dt_1, 1e-9) / (ITERS - 1)
+        dt = max(dt_n - dt_1, 1e-9) / max(ITERS - 1, 1)
         print(json.dumps({'case': name, 'ms': round(dt * 1e3, 3),
                           'points_per_s': round(points / dt),
                           'embeddings_per_s': round(BATCH / dt)}), flush=True)

@@ -74,14 +74,16 @@ def _resolve_aggregate(aggregate: str, cfg, bucket_size: int,
     'auto': 'rank' on TPU for non-cartesian tables with bucket_size <=
             the measured-crossover cap (see above), else 'sort'.
             Cartesian (measured on v5e, R=8192 B=32 F=8): the kernel pads
-            the slice axis to the 128-lane tile, so it wins only at full
+            the slice axis to the 128-lane tile, so it wins only near full
             lanes (S=128: 45 vs 57 ms fwd+bwd = 1.27x; S=16: 3.8x SLOWER)
             and only with weights_grad=False -- the cartesian with_dw
             backward (F-loop + transposed mask loop in one kernel) is
             compile-pathological through Mosaic (>40 min; the no-dw
-            variant compiles in ~4 min).  Hence: cartesian 'auto' picks
-            'rank' iff weights_grad=False, bucket <= cap, and the per-call
-            slice width `s_eff` is >= 128.
+            variant compiles in ~4 min; the gate lives in the backward so
+            forward-only use still works).  Hence: cartesian 'auto' picks
+            'rank' iff weights_grad=False, bucket <= cap, and the
+            lane-padding waste S_pad/s_eff <= 1.2 (margin-derived; see the
+            waste rule in the body).
     """
     if aggregate not in ('auto', 'sort', 'rank'):
         raise ValueError(f"aggregate must be 'auto'|'sort'|'rank', "
@@ -522,15 +524,6 @@ def bucket_quadrature(P: jax.Array, wn: jax.Array, pad_norm: jax.Array,
         # quadrature and its backward stay VMEM-resident (f32 compute).
         # In cartesian mode the B-step rank loop is shared by all F
         # frequencies (f_block is the (S_blk, F) broadcast grid).
-        if (cfg.cartesian_mode and weights_grad
-                and jax.default_backend() != 'cpu'):
-            raise ValueError(
-                "aggregate='rank' with cartesian mode and "
-                "weights_grad=True is disabled on TPU: the with_dw "
-                "cartesian backward kernel is compile-pathological "
-                "(>40 min through Mosaic; BENCH.md).  Use "
-                "weights_grad=False (the GNN-adjacency case) or "
-                "aggregate='sort'.")
         from .ops.fsw_rank_pallas import (fsw_rank_aggregate,
                                           fsw_rank_aggregate_cart)
         f32 = jnp.float32

@@ -853,6 +853,13 @@ def _fswc_fwd(P, wn, pad_norm, freqs, tile_r, interpret, with_dw):
 
 
 def _fswc_bwd(tile_r, interpret, with_dw, res, g):
+    if with_dw and not interpret:
+        raise ValueError(
+            'the cartesian with_dw=True backward kernel is compile-'
+            'pathological on TPU (>40 min through Mosaic; BENCH.md): '
+            'differentiate with with_dw=False (weights_grad=False -- the '
+            'GNN-adjacency case), use the sort path, or interpret mode. '
+            'Forward-only use is unaffected.')
     P, wn, pad_norm, freqs = res
     R, B, S = P.shape
     F = freqs.shape[1]

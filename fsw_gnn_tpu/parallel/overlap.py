@@ -74,9 +74,9 @@ def fsw_embed_local_overlap(X_local: jax.Array,
 
     Scope: non-cartesian, no edge features (the reference's batched
     edge-feature path needs raw per-edge rows, which the projection
-    exchange cannot carry).  Under aggregate='auto' chunks narrower than
-    the 128-lane tile use the XLA sort path: the rank kernel pads the slice
-    axis to 128, which would waste VPU work on every chunk.
+    exchange cannot carry).  Under aggregate='auto' the shared lane-waste
+    rule (embedding._resolve_aggregate with s_eff=chunk) decides per chunk
+    width whether the rank kernel's 128-lane padding still pays off.
     """
     assert not cfg.cartesian_mode, 'overlap path is non-cartesian only'
     assert cfg.d_edge == 0, 'overlap path does not support edge features'

@@ -286,8 +286,8 @@ def test_rank_aggregate_cartesian_matches_sort(slice_chunk):
 
 def test_auto_resolution_rules(monkeypatch):
     """aggregate='auto' backend selection, incl. the measured cartesian
-    rules (rank only with weights_grad=False, bucket <= cap, slice width
-    >= the 128-lane tile)."""
+    rules (rank only with weights_grad=False, bucket <= cap, and
+    lane-padding waste within the mode's measured margin)."""
     from fsw_gnn_tpu import embedding as E
     monkeypatch.setattr(E.jax, 'default_backend', lambda: 'tpu')
     cart = FSWConfig(d_in=4, n_slices=128, n_freqs=8, enable_bias=False)
