@@ -54,9 +54,9 @@ from .ops.segment import (rows_gather, segment_cumsum,
 #   weights_grad=True  (two mask loops): B=32 1.59x, B=64 1.13x,
 #     B=128 0.73x -> cap 64.
 #   weights_grad=False (one mask loop, the GNN-adjacency case): B=32 2.6x,
-#     B=64 2.3x, B=128 2.3x -> no measured crossover; cap 128 (widest
-#     measured; the unrolled-loop module size and O(B^2) growth advise
-#     against going blind beyond that).
+#     B=64 2.3x, B=128 2.3x, B=256 1.10x fwd+bwd (fwd alone 0.71x -- the
+#     O(B^2) rank loop finally overtakes the O(B log^2 B) sort) -> the
+#     crossover endpoint is ~B=256; cap 128 keeps a 2x margin.
 RANK_AGGREGATE_MAX_BUCKET = 64
 RANK_AGGREGATE_MAX_BUCKET_NO_DW = 128
 
