@@ -1,15 +1,31 @@
 """Fused Pallas table kernel vs the reference XLA table path (interpret
-mode on CPU)."""
-import numpy as np
+mode on CPU).
+
+ATTIC: not part of the CI suite (pytest.ini testpaths=tests).  Run
+standalone from the repo root with
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+        python -m pytest benchmarks/attic -q
+"""
+import os
+import sys
+
 import jax
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+import numpy as np
 import jax.numpy as jnp
 import pytest
 
 from fsw_gnn_tpu import (FSWConfig, from_edge_index, fsw_embed_table,
                          to_neighbor_table)
 from fsw_gnn_tpu.embedding import lowclamp
-from fsw_gnn_tpu.ops.fsw_table_pallas import (_sort_pairs_along_b,
-                                              fsw_table_forward)
+from fsw_table_pallas import (_sort_pairs_along_b,
+                              fsw_table_forward)
 
 
 def test_bitonic_sort_network():

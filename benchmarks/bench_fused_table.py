@@ -28,7 +28,7 @@ def main():
     from fsw_gnn_tpu import (FSWConfig, from_edge_index, fsw_embed_graph,
                              to_neighbor_table)
     from fsw_gnn_tpu.embedding import lowclamp
-    from fsw_gnn_tpu.ops.fsw_table_pallas import fsw_table_forward
+    from attic.fsw_table_pallas import fsw_table_forward
 
     rng = np.random.default_rng(0)
     E0 = N_NODES * AVG_DEG

@@ -1,0 +1,292 @@
+"""Probe: the REAL VPU ceiling for the rank kernel's masked select+add mix.
+
+BENCH.md's speed-of-light model prices the rank loop at the 3.95 Tops f32
+FMA bound and concludes the headline runs at ~42% of roofline, asserting
+(not measuring) that "the op model overstates attainable select
+throughput".  This probe measures it: kernels that are NOTHING but the
+loop-body op mixes, on VMEM-resident blocks at the headline bucket shape,
+so the measured time is pure VPU retirement.
+
+Variants (per element per loop step):
+  fma_anchor  acc += P * s_j                      (2 ops: the FMA peak check)
+  select_add  acc += where(P < p_j, w_j, 0)       (3 ops: cmp, select, add)
+  rank        exact production _rank_c loop body  (6 ops modeled: 2 cmp,
+              and, or, select, add)
+  fwd_tail    the forward's NON-loop math (_trig + quadrature), once per
+              element (B loop steps equivalent = 1): the op model prices
+              this at 25 ops, but sin/cos/round are multi-op on the VPU
+  bwd_tail    the backward's non-loop math (trig + dp/dc/df chains),
+              modeled at 60 ops
+
+Each kernel repeats its loop REP times with a data dependency between
+repeats (acc folded into the next repeat's operand) so XLA/Mosaic cannot
+CSE them and HBM traffic is amortized to noise.  Timing per the CLAUDE.md
+protocol: in-jit scan with loop-carried dependency, one-scalar readback,
+N-vs-1 differencing.
+
+Run on TPU:  python benchmarks/probe_select_ceiling.py
+"""
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+R = int(os.environ.get('FSW_PROBE_R', 8192))
+B = int(os.environ.get('FSW_PROBE_B', 32))
+S = int(os.environ.get('FSW_PROBE_S', 128))
+REP = int(os.environ.get('FSW_PROBE_REP', 4))
+ITERS = int(os.environ.get('FSW_PROBE_ITERS', 10))
+TILE_R = int(os.environ.get('FSW_PROBE_TILE', 64))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def body_rank(P, wn, pos):
+        """Exact production loop (ops/fsw_rank_pallas._rank_c)."""
+        c = jnp.zeros(P.shape, P.dtype)
+        for j in range(B):
+            pj = P[:, j:j + 1, :]
+            wj = wn[:, j:j + 1][:, :, None]
+            cond = jnp.logical_or(
+                pj < P, jnp.logical_and(pj == P, pos >= j))
+            c = c + jnp.where(cond, wj, jnp.zeros_like(P))
+        return c
+
+    def body_select_add(P, wn, pos):
+        """Minimal select chain: cmp, select, add."""
+        c = jnp.zeros(P.shape, P.dtype)
+        for j in range(B):
+            pj = P[:, j:j + 1, :]
+            wj = wn[:, j:j + 1][:, :, None]
+            c = c + jnp.where(pj < P, wj, jnp.zeros_like(P))
+        return c
+
+    def body_fma_anchor(P, wn, pos):
+        """Pure multiply-add chain -- should retire near the 3.95 Tops
+        FMA bound if the hardware model holds."""
+        c = jnp.zeros(P.shape, P.dtype)
+        for j in range(B):
+            wj = wn[:, j:j + 1][:, :, None]
+            c = c + P * wj
+        return c
+
+    from fsw_gnn_tpu.ops.fsw_rank_pallas import _trig, TWO_PI
+
+    def body_fwd_tail(P, wn, pos):
+        """The forward's non-loop math: trig + quadrature (uses a fake c of
+        the right shape/value class; the real c comes from the loop)."""
+        ws = jnp.broadcast_to(wn[:, :, None], P.shape)
+        c = 0.3 * P + ws                             # stand-in rank
+        # int32 iota + astype: a float-dtype tpu.iota fails Mosaic
+        # verification ('result must be vector of integer values')
+        f = 0.7 + 0.001 * jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, S), 2).astype(jnp.float32)
+        sinc_t, cos_t, _, _ = _trig(ws, c, f)
+        return (1.0 + f) * (P * (2.0 * ws * sinc_t * cos_t))
+
+    def body_bwd_tail(P, wn, pos):
+        """The backward's non-loop math: full trig + dp/dc/df chains."""
+        ws = jnp.broadcast_to(wn[:, :, None], P.shape)
+        c = 0.3 * P + ws
+        # int32 iota + astype: a float-dtype tpu.iota fails Mosaic
+        # verification ('result must be vector of integer values')
+        f = 0.7 + 0.001 * jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, S), 2).astype(jnp.float32)
+        g1 = 1.0 + f
+        sinc_t, cos_t, sin_t, cos_fw = _trig(ws, c, f)
+        sd = 2.0 * ws * sinc_t * cos_t
+        dp = g1 * sd
+        dc = g1 * P * (-2.0 * TWO_PI) * f * ws * sinc_t * sin_t
+        fsafe = jnp.where(f == 0.0, jnp.ones_like(f), f)
+        phi_f = 2.0 * ws * (
+            jnp.where(f == 0.0, jnp.zeros_like(f), (cos_fw - sinc_t) / fsafe)
+            * cos_t
+            - jnp.pi * (2.0 * c - ws) * sinc_t * sin_t)
+        return dp + dc + P * sd + P * phi_f
+
+    # ---- polynomial sincos: the trig tails measure ~7x the op model, so
+    # the transcendentals are the named cost.  Hand-rolled alternative:
+    # we already range-reduce to u in [-0.5, 0.5] (u -= round(u)); fold to
+    # a quarter period with cheap selects (measured near-free) and apply a
+    # degree-13 odd Taylor polynomial for sin(2*pi*t), t in [0, 0.25]
+    # (truncation error ~9e-11 at the quarter-period edge, far under f32
+    # eps; 6 FMAs + 2 muls in Horner form).
+    import math
+    S_COEF = tuple((-1.0) ** k * (2 * math.pi) ** (2 * k + 1)
+                   / math.factorial(2 * k + 1) for k in range(7))
+
+    def _sin2pi(u):
+        """sin(2*pi*u) for u in [-0.5, 0.5] via quarter-period folding +
+        odd polynomial (Horner in t^2)."""
+        a = jnp.abs(u)
+        t = jnp.minimum(a, 0.5 - a)          # fold: sin(2pi a)=sin(2pi t)
+        t2 = t * t
+        p = jnp.full_like(u, S_COEF[-1])
+        for coef in S_COEF[-2::-1]:
+            p = p * t2 + coef
+        return jnp.sign(u) * (p * t)
+
+    def _sincos_poly(u):
+        """(sin, cos) of 2*pi*u, u already wrapped to [-0.5, 0.5]."""
+        s = _sin2pi(u)
+        uc = u + 0.25
+        uc = uc - jnp.round(uc)
+        return s, _sin2pi(uc)
+
+    def _trig_poly(ws, c, f):
+        u_cos = 0.5 * f * (2.0 * c - ws)
+        u_cos = u_cos - jnp.round(u_cos)
+        sin_t, cos_t = _sincos_poly(u_cos)
+        x = f * ws
+        u_sin = 0.5 * x
+        u_sin = u_sin - jnp.round(u_sin)
+        sin_fw, cos_fw = _sincos_poly(u_sin)
+        safe = jnp.where(x == 0.0, jnp.ones_like(x), x)
+        sinc_t = jnp.where(x == 0.0, jnp.ones_like(x),
+                           sin_fw / (jnp.pi * safe))
+        return sinc_t, cos_t, sin_t, cos_fw
+
+    def body_fwd_tail_poly(P, wn, pos):
+        ws = jnp.broadcast_to(wn[:, :, None], P.shape)
+        c = 0.3 * P + ws
+        f = 0.7 + 0.001 * jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, S), 2).astype(jnp.float32)
+        sinc_t, cos_t, _, _ = _trig_poly(ws, c, f)
+        return (1.0 + f) * (P * (2.0 * ws * sinc_t * cos_t))
+
+    def body_bwd_tail_poly(P, wn, pos):
+        ws = jnp.broadcast_to(wn[:, :, None], P.shape)
+        c = 0.3 * P + ws
+        f = 0.7 + 0.001 * jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, S), 2).astype(jnp.float32)
+        g1 = 1.0 + f
+        sinc_t, cos_t, sin_t, cos_fw = _trig_poly(ws, c, f)
+        sd = 2.0 * ws * sinc_t * cos_t
+        dp = g1 * sd
+        dc = g1 * P * (-2.0 * TWO_PI) * f * ws * sinc_t * sin_t
+        fsafe = jnp.where(f == 0.0, jnp.ones_like(f), f)
+        phi_f = 2.0 * ws * (
+            jnp.where(f == 0.0, jnp.zeros_like(f), (cos_fw - sinc_t) / fsafe)
+            * cos_t
+            - jnp.pi * (2.0 * c - ws) * sinc_t * sin_t)
+        return dp + dc + P * sd + P * phi_f
+
+    def body_sin_only(P, wn, pos):
+        return jnp.sin(P)
+
+    # name -> (body, modeled ops per element-step, loop steps per element)
+    BODIES = {'fma_anchor': (body_fma_anchor, 2, B),
+              'select_add': (body_select_add, 3, B),
+              'rank': (body_rank, 6, B),
+              'fwd_tail': (body_fwd_tail, 25, 1),
+              'bwd_tail': (body_bwd_tail, 60, 1),
+              'sin_only': (body_sin_only, 1, 1),
+              'fwd_tail_poly': (body_fwd_tail_poly, 25, 1),
+              'bwd_tail_poly': (body_bwd_tail_poly, 60, 1)}
+
+    # numeric check of the polynomial against f64 numpy on the host
+    uu = np.linspace(-0.5, 0.5, 100001).astype(np.float32)
+    tt = np.minimum(np.abs(uu), 0.5 - np.abs(uu)).astype(np.float32)
+    p = np.full_like(tt, np.float32(S_COEF[-1]))
+    for coef in S_COEF[-2::-1]:
+        p = p * (tt * tt) + np.float32(coef)
+    approx = np.sign(uu) * p * tt
+    err = np.max(np.abs(approx - np.sin(2 * np.pi * uu.astype(np.float64))))
+    print(json.dumps({'poly_sin_max_abs_err_f32': f'{err:.2e}'}), flush=True)
+
+    def make_kernel(body):
+        def kernel(p_ref, wn_ref, out_ref):
+            P = p_ref[:]
+            wn = wn_ref[:]
+            TR = P.shape[0]
+            pos = jax.lax.broadcasted_iota(jnp.int32, (TR, B, S), 1)
+            acc = jnp.zeros((TR, S), P.dtype)
+            for r in range(REP):
+                c = body(P, wn, pos)
+                acc = acc + jnp.sum(c, axis=1)
+                # data dependency so repeats cannot be CSE'd; the scale
+                # keeps P's compare outcomes unchanged in practice
+                P = P + 1e-30 * c
+            out_ref[:] = acc
+        return kernel
+
+    @functools.partial(jax.jit, static_argnames=('name',))
+    def run_probe(P, wn, name):
+        body = BODIES[name][0]
+        return pl.pallas_call(
+            make_kernel(body),
+            grid=(R // TILE_R,),
+            in_specs=[
+                pl.BlockSpec((TILE_R, B, S), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_R, B), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE_R, S), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((R, S), P.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
+        )(P, wn)
+
+    rng = np.random.default_rng(0)
+    P0 = jnp.asarray(rng.standard_normal((R, B, S)), jnp.float32)
+    wn0 = jnp.asarray(rng.random((R, B)), jnp.float32)
+
+    results = {}
+    for name, (body, ops_per, steps_per_el) in BODIES.items():
+        def make(iters):
+            @jax.jit
+            def run(P, wn):
+                def step(carry, _):
+                    out = run_probe(carry, wn, name)
+                    # chain the output into the next step's input
+                    return carry + 1e-30 * out[:, None, :], out
+                c, outs = jax.lax.scan(step, P, None, length=iters)
+                return jnp.ravel(c)[0] + jnp.ravel(outs)[0]
+            return run
+        run_n, run_1 = make(ITERS), make(1)
+
+        def measure(run):
+            float(run(P0, wn0))               # compile + drain
+            best = float('inf')
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(run(P0, wn0))           # readback barrier
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        dt = (measure(run_n) - measure(run_1)) / (ITERS - 1)
+        el_steps = R * B * S * steps_per_el * REP   # element-steps per call
+        ops = el_steps * ops_per
+        tops = ops / dt / 1e12
+        el_steps_per_s = el_steps / dt
+        results[name] = el_steps_per_s
+        print(json.dumps({
+            'variant': name, 'ms': round(dt * 1e3, 3),
+            'modeled_ops_per_el_step': ops_per,
+            'tops_at_model': round(tops, 3),
+            'el_loop_steps_per_s': f'{el_steps_per_s:.3e}',
+            'pct_of_fma_bound': round(100 * tops / 3.95, 1),
+        }), flush=True)
+
+    if 'rank' in results:
+        print(json.dumps({
+            'summary': 'measured rank-loop retirement',
+            'rank_el_steps_per_s': f'{results["rank"]:.4e}',
+            'note': 'bench.py MEASURED_RANK_STEPS_PER_S should equal '
+                    'rank_el_steps_per_s',
+        }), flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -92,6 +92,17 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_autotune(args) -> int:
+    """One-shot rank-vs-sort crossover measurement for THIS chip, cached
+    by device kind so aggregate='auto' can use the rank kernel on
+    generations without a measured rules table."""
+    from .utils.autotune import autotune_rank_rules, cache_path
+    rules = autotune_rank_rules(write_cache=not args.dry_run)
+    print(json.dumps({'rules': rules,
+                      'cache': None if args.dry_run else cache_path()}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
     import os
@@ -132,6 +143,10 @@ def main(argv=None) -> int:
     pt = sub.add_parser('train', help='train an FSW-GNN node classifier')
     _add_train_args(pt)
     sub.add_parser('bench', help='run the headline benchmark')
+    pa = sub.add_parser('autotune', help='measure + cache the rank-vs-sort '
+                                         'crossover for this chip')
+    pa.add_argument('--dry-run', action='store_true',
+                    help='measure and print, do not write the cache')
     pe = sub.add_parser('export', help='checkpoint -> StableHLO artifact')
     pe.add_argument('--dataset', default='cora')
     pe.add_argument('--hidden', type=int, nargs='+', default=[64])
@@ -148,6 +163,8 @@ def main(argv=None) -> int:
         return cmd_train(args)
     if args.cmd == 'bench':
         return cmd_bench(args)
+    if args.cmd == 'autotune':
+        return cmd_autotune(args)
     if args.cmd == 'export':
         return cmd_export(args)
     return 1

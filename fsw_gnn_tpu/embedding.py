@@ -46,10 +46,10 @@ from .ops.segment import (rows_gather, segment_cumsum,
                           segment_sort_fused, segment_sum, sort_pairs_fused)
 
 
-# Bucket-width bounds for the fused rank kernel under aggregate='auto'.
-# The kernel's weighted-rank pass is O(B^2) per entry
-# (ops/fsw_rank_pallas.py), the XLA sort path O(B log^2 B), so there is a
-# width crossover -- but it depends on whether weight cotangents are
+# Bucket-width bounds for the fused rank kernel under aggregate='auto',
+# KEYED BY TPU GENERATION.  The kernel's weighted-rank pass is O(B^2) per
+# entry (ops/fsw_rank_pallas.py), the XLA sort path O(B log^2 B), so there
+# is a width crossover -- but it depends on whether weight cotangents are
 # needed.  Measured on v5e (fwd+bwd per entry, vs sort):
 #   weights_grad=True  (two mask loops): B=32 1.59x, B=64 1.13x,
 #     B=128 0.73x -> cap 64.
@@ -57,8 +57,55 @@ from .ops.segment import (rows_gather, segment_cumsum,
 #     B=64 2.3x, B=128 2.3x, B=256 1.10x fwd+bwd (fwd alone 0.71x -- the
 #     O(B^2) rank loop finally overtakes the O(B log^2 B) sort) -> the
 #     crossover endpoint is ~B=256; cap 128 keeps a 2x margin.
+# Waste thresholds: the kernel pads the slice axis to the 128-lane tile,
+# so its cost is flat below one tile while the sort path scales with the
+# true S; the kernel wins iff margin_at_full_lanes * S / S_pad > 1 (~10%
+# safety baked in).  Empirical anchor: embed_dim=64 (S=63, waste 2.03x)
+# measured 1.7x FASTER on the rank kernel at arxiv scale -- a flat 1.6x
+# waste cutoff regressed that config to the sort path (325 vs 192
+# ms/step).
+_RANK_RULES_BY_KIND = {
+    # v5e: every number above measured on this generation
+    'tpu v5 lite': dict(cap_dw=64, cap_nodw=128, waste_cart=1.2,
+                        waste_nodw=2.2, waste_dw_narrow=1.4,
+                        waste_dw_wide=1.05),
+}
+# other generations ride the same VPU/Mosaic design, so the v5e crossover
+# *shape* transfers even if the exact caps shift; until measured, unknown
+# kinds fall back to the sort path (correct everywhere) unless an
+# autotune cache entry exists (utils/autotune.py) or FSW_ASSUME_V5E_RULES=1
+# opts into the v5e numbers.
+
+# kept as module constants for introspection/back-compat (the v5e values)
 RANK_AGGREGATE_MAX_BUCKET = 64
 RANK_AGGREGATE_MAX_BUCKET_NO_DW = 128
+
+
+def _device_kind() -> str:
+    """Normalized accelerator kind string ('' when unavailable)."""
+    try:
+        return jax.devices()[0].device_kind.lower()
+    except Exception:
+        return ''
+
+
+def _rank_rules() -> Optional[dict]:
+    """Crossover rules for the current device: autotune cache first
+    (utils/autotune.py, opt-in one-shot measurement), then the measured
+    table, then the FSW_ASSUME_V5E_RULES escape hatch; None = no rules
+    known -> 'auto' stays on the sort path."""
+    import os
+    kind = _device_kind()
+    from .utils.autotune import cached_rules
+    cached = cached_rules(kind)
+    if cached is not None:
+        return cached
+    for known, rules in _RANK_RULES_BY_KIND.items():
+        if known in kind:
+            return rules
+    if os.environ.get('FSW_ASSUME_V5E_RULES') == '1':
+        return _RANK_RULES_BY_KIND['tpu v5 lite']
+    return None
 
 
 def _resolve_aggregate(aggregate: str, cfg, bucket_size: int,
@@ -71,19 +118,14 @@ def _resolve_aggregate(aggregate: str, cfg, bucket_size: int,
             mode via fsw_rank_aggregate_cart, which shares the rank loop
             across all frequencies).  On CPU it runs in interpret mode
             (tests).
-    'auto': 'rank' on TPU for non-cartesian tables with bucket_size <=
-            the measured-crossover cap (see above), else 'sort'.
+    'auto': 'rank' for tables whose bucket_size and lane-padding waste sit
+            inside the current DEVICE GENERATION's measured crossover
+            rules (_rank_rules: v5e-measured table, autotune cache, or the
+            FSW_ASSUME_V5E_RULES opt-in); 'sort' on CPU, on unknown
+            hardware, and beyond the caps.
             Cartesian (measured on v5e, R=8192 B=32 F=8): the kernel pads
             the slice axis to the 128-lane tile, so it wins only near full
-            lanes (S=128: 45 vs 57 ms fwd+bwd = 1.27x; S=16: 3.8x SLOWER)
-            and only with weights_grad=False -- the cartesian with_dw
-            backward (F-loop + transposed mask loop in one kernel) is
-            compile-pathological through Mosaic (>40 min; the no-dw
-            variant compiles in ~4 min; the gate lives in the backward so
-            forward-only use still works).  Hence: cartesian 'auto' picks
-            'rank' iff weights_grad=False, bucket <= cap, and the
-            lane-padding waste S_pad/s_eff <= 1.2 (margin-derived; see the
-            waste rule in the body).
+            lanes (S=128: 45 vs 57 ms fwd+bwd = 1.27x; S=16: 3.8x SLOWER).
     """
     if aggregate not in ('auto', 'sort', 'rank'):
         raise ValueError(f"aggregate must be 'auto'|'sort'|'rank', "
@@ -92,32 +134,27 @@ def _resolve_aggregate(aggregate: str, cfg, bucket_size: int,
         return aggregate
     if jax.default_backend() == 'cpu':
         return 'sort'
+    rules = _rank_rules()
+    if rules is None:
+        return 'sort'
     # Lane-padding waste rule (shared with the distributed overlap path,
-    # which passes s_eff=chunk): the kernel pads the slice axis to the
-    # 128-lane tile, so its cost is flat below one tile (measured: 45 ms
-    # at S=16 and at S=128, cartesian) while the sort path scales with the
-    # true S.  The kernel therefore wins iff margin_at_full_lanes * S /
-    # S_pad > 1, with measured full-lane margins: non-cartesian no-dw
-    # 2.3-2.6x (B=32..128), non-cartesian with-dw 1.59x (B=32) / 1.13x
-    # (B=64), cartesian no-dw 1.27x.  Thresholds below carry ~10% safety.
-    # Empirical anchor: embed_dim=64 (S=63, waste 2.03x) measured 1.7x
-    # FASTER on the rank kernel at arxiv scale -- a flat 1.6x waste cutoff
-    # regressed that config to the sort path (325 vs 192 ms/step).
+    # which passes s_eff=chunk); see the rules-table comment above.
     s = s_eff if s_eff is not None else cfg.nSlices
     waste = (-(-s // 128) * 128) / max(s, 1)
     if cfg.cartesian_mode:
-        if (not weights_grad
-                and bucket_size <= RANK_AGGREGATE_MAX_BUCKET_NO_DW
-                and waste <= 1.2):
+        if (not weights_grad and bucket_size <= rules['cap_nodw']
+                and waste <= rules['waste_cart']):
             return 'rank'
         return 'sort'
     if not weights_grad:
-        if bucket_size <= RANK_AGGREGATE_MAX_BUCKET_NO_DW and waste <= 2.2:
+        if (bucket_size <= rules['cap_nodw']
+                and waste <= rules['waste_nodw']):
             return 'rank'
         return 'sort'
-    if bucket_size > RANK_AGGREGATE_MAX_BUCKET:
+    if bucket_size > rules['cap_dw']:
         return 'sort'
-    if waste > (1.4 if bucket_size <= 32 else 1.05):
+    if waste > (rules['waste_dw_narrow'] if bucket_size <= 32
+                else rules['waste_dw_wide']):
         return 'sort'
     return 'rank'
 

@@ -219,8 +219,28 @@ def _pad_args(P, wn, pad_norm, freqs, tile_r, lane=128):
 # VMEM total).  The backward's unrolled mask loop keeps ~100 live
 # (TR, B, S) temporaries on the kernel stack (measured: 26.8 MB at
 # tr=16/B=32, 17.8 MB at tr=8/B=64), so wide buckets need the higher
-# ceiling; 96 MB leaves room for the streamed in/out blocks.
-VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+# ceiling; 96 MB leaves room for the streamed in/out blocks.  96 MB is
+# validated on v5e; the v4/v5/v6 families share the 128 MB-VMEM core
+# design (public specs) so they get the same ceiling; unknown kinds use a
+# conservative 64 MB (tile pickers shrink TR to fit).  Override with
+# FSW_VMEM_LIMIT_MB.
+VMEM_LIMIT_BYTES = 96 * 1024 * 1024          # the validated v5e value
+_128MB_VMEM_KINDS = ('v4', 'v5 lite', 'v5e', 'v5p', 'v5', 'v6 lite',
+                     'v6e', 'v6')
+
+
+def _vmem_limit() -> int:
+    import os
+    env = os.environ.get('FSW_VMEM_LIMIT_MB')
+    if env:
+        return int(env) * 1024 * 1024
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return VMEM_LIMIT_BYTES
+    if any(k in kind for k in _128MB_VMEM_KINDS):
+        return VMEM_LIMIT_BYTES
+    return 64 * 1024 * 1024
 
 
 def _pick_tile_r(B, S_pad, arrays=8, budget_bytes=4 * 1024 * 1024):
@@ -238,7 +258,7 @@ def _pick_tile_bwd(B, S_pad):
     """Backward row tile: the measured scoped-VMEM model is ~105 live
     (TR, B, S_pad) f32 arrays; keep the stack under ~70% of
     VMEM_LIMIT_BYTES."""
-    budget = int(0.7 * VMEM_LIMIT_BYTES)
+    budget = int(0.7 * _vmem_limit())
     tr = 64
     while tr > 8 and tr * B * S_pad * 4 * 105 > budget:
         tr //= 2
@@ -282,7 +302,7 @@ def _block_specs(tr, B_pad, S_pad):
 
 
 def _compiler_params():
-    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+    return pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit())
 
 
 def _fwd_call(P, wn, pad_norm, freqs, tile_r, interpret):
@@ -642,12 +662,12 @@ fsw_rank_aggregate_proj.defvjp(_fswp_fwd, _fswp_bwd)
 #   * S=16:  kernel 45.5 ms vs sort 12.1 ms -- the 128-lane padding of the
 #     slice axis makes the kernel cost S-independent below a lane tile, so
 #     narrow-S cartesian configs should use the sort path;
-#   * COMPILE PATHOLOGY: the with_dw=True backward (per-freq trig loop +
-#     transposed-mask loop in one kernel) takes >40 min through the
-#     remote Mosaic pipeline; the with_dw=False backward compiles in ~4
-#     min.  aggregate='auto' therefore only selects this kernel with
-#     weights_grad=False (embedding._resolve_aggregate); with_dw=True
-#     remains available opt-in and is covered by interpret-mode tests.
+#   * COMPILE PATHOLOGY (fixed by splitting): the per-freq trig loop and
+#     the transposed-mask loop in ONE kernel take >40 min through the
+#     remote Mosaic pipeline (each alone compiles in minutes), so the
+#     with_dw=True backward runs as TWO pallas_calls -- stage 1 (trig
+#     loop) emits dc, stage 2 (_mask_consume_kernel) turns it into
+#     dwn/dpad -- at the cost of one (R, B, S) HBM round-trip for dc.
 # ---------------------------------------------------------------------------
 
 
@@ -690,8 +710,18 @@ def _fwdc_kernel(n_freqs, p_ref, wn_ref, pad_ref, freq_ref, out_ref):
 
 def _bwdc_kernel(n_freqs, with_dw, p_ref, wn_ref, pad_ref, freq_ref, g_ref,
                  *out_refs):
+    """Cartesian backward, stage 1: the per-frequency trig loop.
+
+    with_dw=True emits dc (TR, B, S) and the DIRECT dwn term as extra
+    outputs for the stage-2 mask kernel instead of running the
+    transposed-mask loop here: the combination of the statically unrolled
+    per-frequency trig loop and the B-step transposed-mask loop in ONE
+    kernel is compile-pathological on TPU (>40 min through the remote
+    Mosaic pipeline; each loop alone compiles in minutes -- BENCH.md).
+    The split costs one (R, B, S) HBM round-trip for dc.
+    """
     if with_dw:
-        dp_ref, dwn_ref, dpad_ref, df_ref = out_refs
+        dp_ref, dc_ref, dwn_dir_ref, df_ref = out_refs
     else:
         dp_ref, df_ref = out_refs
     P, wn, ws, c, pos = _cart_common(p_ref, wn_ref, pad_ref)
@@ -733,16 +763,8 @@ def _bwdc_kernel(n_freqs, with_dw, p_ref, wn_ref, pad_ref, freq_ref, g_ref,
     dp_ref[:] = dp
 
     if with_dw:
-        dpad_ref[:] = jnp.sum(
-            jnp.sum(jnp.where(P > 0, dc, jnp.zeros_like(dc)), axis=2),
-            axis=1, keepdims=True)
-        cols = []
-        for j in range(B):
-            pj = P[:, j:j + 1, :]
-            md = _masked(P, pj, pos, j, dc)
-            cols.append(jnp.sum(jnp.sum(md, axis=2), axis=1,
-                                keepdims=True))
-        dwn_ref[:] = dwn_direct + jnp.concatenate(cols, axis=1)
+        dc_ref[:] = dc
+        dwn_dir_ref[:] = dwn_direct
 
     df_tile = jnp.concatenate(df_rows, axis=0)       # (F_pad, S)
 
@@ -753,6 +775,26 @@ def _bwdc_kernel(n_freqs, with_dw, p_ref, wn_ref, pad_ref, freq_ref, g_ref,
         df_ref[:] = jnp.zeros_like(df_ref)
 
     df_ref[:] += df_tile
+
+
+def _mask_consume_kernel(p_ref, dc_ref, dwn_ref, dpad_ref):
+    """Cartesian backward, stage 2: the transposed-mask dwn/dpad loop,
+    consuming the dc produced by stage 1 (plus the ORIGINAL projections
+    for the mask).  Frequency-free, so the kernel is exactly the non-cart
+    backward's mask loop -- which compiles fine alone."""
+    P = p_ref[:]                                     # (TR, B, S)
+    dc = dc_ref[:]
+    TR, B, S = P.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (TR, B, S), 1)
+    dpad_ref[:] = jnp.sum(
+        jnp.sum(jnp.where(P > 0, dc, jnp.zeros_like(dc)), axis=2),
+        axis=1, keepdims=True)
+    cols = []
+    for j in range(B):
+        pj = P[:, j:j + 1, :]
+        md = _masked(P, pj, pos, j, dc)
+        cols.append(jnp.sum(jnp.sum(md, axis=2), axis=1, keepdims=True))
+    dwn_ref[:] = jnp.concatenate(cols, axis=1)
 
 
 def _pad_cart_args(P, wn, pad_norm, freqs, tile_r, lane=128):
@@ -782,15 +824,25 @@ def _pick_tile_cart(B, S_pad, F_pad, bwd: bool,
     """Row tile for the cartesian kernel: live VMEM ~ (rank arrays +
     per-freq temporaries + the (TR, F, S) output/cotangent block).
     The no-dw backward model (14 arrays) is validated on HW (B=32,
-    S_pad=128 ran at the default tile); the with_dw backward adds the
-    transposed-mask loop, so it uses the non-cart backward's measured
-    ~105-live-array model (it is TPU-gated anyway -- compile pathology,
-    see the section comment)."""
-    arrays = (105 if (bwd and with_dw) else 14 if bwd else 8)
-    budget = budget_bytes or (int(0.7 * VMEM_LIMIT_BYTES) if bwd
+    S_pad=128 ran at the default tile); the with_dw stage-1 backward
+    (dc producer) additionally streams the dc/dp output blocks and the
+    dwn_direct accumulator -- a couple more live arrays."""
+    arrays = (18 if (bwd and with_dw) else 14 if bwd else 8)
+    budget = budget_bytes or (int(0.7 * _vmem_limit()) if bwd
                               else 8 * 1024 * 1024)
     tr = 256
     while tr > 8 and tr * S_pad * 4 * (arrays * B + 2 * F_pad) > budget:
+        tr //= 2
+    return tr
+
+
+def _pick_tile_mask(B, S_pad):
+    """Row tile for the stage-2 mask kernel: P + dc inputs, the unrolled
+    mask loop's temporaries -- ~12 live (TR, B, S) arrays measured-class
+    (same loop as the non-cart backward minus all trig temporaries)."""
+    budget = int(0.7 * _vmem_limit())
+    tr = 128
+    while tr > 8 and tr * B * S_pad * 4 * 12 > budget:
         tr //= 2
     return tr
 
@@ -853,13 +905,6 @@ def _fswc_fwd(P, wn, pad_norm, freqs, tile_r, interpret, with_dw):
 
 
 def _fswc_bwd(tile_r, interpret, with_dw, res, g):
-    if with_dw and not interpret:
-        raise ValueError(
-            'the cartesian with_dw=True backward kernel is compile-'
-            'pathological on TPU (>40 min through Mosaic; BENCH.md): '
-            'differentiate with with_dw=False (weights_grad=False -- the '
-            'GNN-adjacency case), use the sort path, or interpret mode. '
-            'Forward-only use is unaffected.')
     P, wn, pad_norm, freqs = res
     R, B, S = P.shape
     F = freqs.shape[1]
@@ -900,17 +945,47 @@ def _fswc_bwd(tile_r, interpret, with_dw, res, g):
     df_shape = jax.ShapeDtypeStruct((F_pad, S_pad), P.dtype)
     kern = functools.partial(_bwdc_kernel, F, with_dw)
     if with_dw:
-        dp, dwn, dpad, dfT = pl.pallas_call(
+        # stage 1: trig loop -> dp, dc, dwn_direct, df
+        dc_spec = pl.BlockSpec((tr, B_pad, S_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        dc_shape = jax.ShapeDtypeStruct((R_pad, B_pad, S_pad), P.dtype)
+        dp, dc, dwn_dir, dfT = pl.pallas_call(
             kern,
             grid=(R_pad // tr,),
             in_specs=in_specs,
-            out_specs=(dp_spec, dwn_spec, dpad_spec, df_spec),
-            out_shape=(dp_shape, dwn_shape, dpad_shape, df_shape),
+            out_specs=(dp_spec, dc_spec, dwn_spec, df_spec),
+            out_shape=(dp_shape, dc_shape, dwn_shape, df_shape),
             compiler_params=_compiler_params(),
             interpret=interpret,
         )(Pp, wnp, padp, freqT, gk)
-        return (dp[:R, :B, :S], dwn[:R, :B], dpad[:R, 0],
-                dfT[:F, :S].T)
+        # stage 2: transposed-mask loop consuming dc (one extra (R, B, S)
+        # HBM round-trip; see _bwdc_kernel docstring)
+        tm = _pick_tile_mask(B_pad, S_pad)
+        tm = min(tm, -(-max(8, R) // 8) * 8)
+        if R_pad % tm:
+            tm = tr                     # fall back to the stage-1 tile
+        dwn_rank, dpad = pl.pallas_call(
+            _mask_consume_kernel,
+            grid=(R_pad // tm,),
+            in_specs=[
+                pl.BlockSpec((tm, B_pad, S_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm, B_pad, S_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tm, B_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(jax.ShapeDtypeStruct((R_pad, B_pad), P.dtype),
+                       jax.ShapeDtypeStruct((R_pad, 1), P.dtype)),
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(Pp, dc)
+        return (dp[:R, :B, :S], (dwn_dir + dwn_rank)[:R, :B],
+                dpad[:R, 0], dfT[:F, :S].T)
     dp, dfT = pl.pallas_call(
         kern,
         grid=(R_pad // tr,),

@@ -290,6 +290,7 @@ def test_auto_resolution_rules(monkeypatch):
     lane-padding waste within the mode's measured margin)."""
     from fsw_gnn_tpu import embedding as E
     monkeypatch.setattr(E.jax, 'default_backend', lambda: 'tpu')
+    monkeypatch.setattr(E, '_device_kind', lambda: 'tpu v5 lite')
     cart = FSWConfig(d_in=4, n_slices=128, n_freqs=8, enable_bias=False)
     assert E._resolve_aggregate('auto', cart, 32, weights_grad=False) == 'rank'
     assert E._resolve_aggregate('auto', cart, 32, weights_grad=True) == 'sort'
