@@ -183,6 +183,44 @@ def main():
     def body_sin_only(P, wn, pos):
         return jnp.sin(P)
 
+    def body_round_only(P, wn, pos):
+        return P - jnp.round(P)
+
+    def body_floor_only(P, wn, pos):
+        return P - jnp.floor(P)
+
+    def body_sincos_poly_only(P, wn, pos):
+        """Just the two poly sincos pairs of the trig (incl. their wraps)."""
+        u = P * 0.37
+        u = u - jnp.round(u)
+        s1, c1 = _sincos_poly(u)
+        v = P * 0.11 + 0.05
+        v = v - jnp.round(v)
+        s2, c2 = _sincos_poly(v)
+        return s1 * c2 + c1 * s2
+
+    def body_bwd_arith_only(P, wn, pos):
+        """The backward tail's arithmetic body with the four trig values
+        replaced by cheap linear stand-ins -- isolates the non-trig cost."""
+        ws = jnp.broadcast_to(wn[:, :, None], P.shape)
+        c = 0.3 * P + ws
+        f = 0.7 + 0.001 * jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, S), 2).astype(jnp.float32)
+        g1 = 1.0 + f
+        sinc_t = 0.2 * c + 0.1
+        cos_t = 0.3 * c - 0.2
+        sin_t = 0.1 * c + 0.4
+        cos_fw = 0.25 * c
+        sd = 2.0 * ws * sinc_t * cos_t
+        dp = g1 * sd
+        dc = g1 * P * (-2.0 * TWO_PI) * f * ws * sinc_t * sin_t
+        fsafe = jnp.where(f == 0.0, jnp.ones_like(f), f)
+        phi_f = 2.0 * ws * (
+            jnp.where(f == 0.0, jnp.zeros_like(f), (cos_fw - sinc_t) / fsafe)
+            * cos_t
+            - jnp.pi * (2.0 * c - ws) * sinc_t * sin_t)
+        return dp + dc + P * sd + P * phi_f
+
     # name -> (body, modeled ops per element-step, loop steps per element)
     BODIES = {'fma_anchor': (body_fma_anchor, 2, B),
               'select_add': (body_select_add, 3, B),
@@ -190,8 +228,16 @@ def main():
               'fwd_tail': (body_fwd_tail, 25, 1),
               'bwd_tail': (body_bwd_tail, 60, 1),
               'sin_only': (body_sin_only, 1, 1),
+              'round_only': (body_round_only, 2, 1),
+              'floor_only': (body_floor_only, 2, 1),
+              'sincos_poly_only': (body_sincos_poly_only, 40, 1),
+              'bwd_arith_only': (body_bwd_arith_only, 35, 1),
               'fwd_tail_poly': (body_fwd_tail_poly, 25, 1),
               'bwd_tail_poly': (body_bwd_tail_poly, 60, 1)}
+    only = os.environ.get('FSW_PROBE_ONLY')
+    if only:
+        BODIES = {k: v for k, v in BODIES.items()
+                  if k in only.split(',')}
 
     # numeric check of the polynomial against f64 numpy on the host
     uu = np.linspace(-0.5, 0.5, 100001).astype(np.float32)

@@ -1,10 +1,19 @@
-"""Neighbor-sampled minibatch training (BASELINE config #4, ogbn-arxiv
-style).
+"""Neighbor-sampled minibatch training (BASELINE configs #4-#5,
+ogbn-arxiv/products style).
 
 Host-side pipeline: NeighborSampler (numpy or native C++) draws fixed-fanout
 subgraphs around a seed batch; each subgraph is padded to static shapes
 (max_nodes nodes, E_max edges) so one jitted train step serves every batch.
 Loss is computed on the seed nodes only (the first `batch_size` local ids).
+
+With config.num_devices > 1 the trainer goes DATA-PARALLEL (parallel/dp.py):
+each epoch is processed in waves of D batches, one per device, stacked
+host-side into [D, ...] arrays and consumed by one shard_mapped step whose
+gradients are psum-summed and whose loss is normalized by the GLOBAL seed
+count -- one DP wave is mathematically one full-batch step over the union
+of its D subgraph batches (tested against a manually combined-gradient
+step in tests/test_minibatch.py).
+CLI: `python -m fsw_gnn_tpu.cli train --minibatch --num-devices D`.
 """
 from __future__ import annotations
 
@@ -29,9 +38,11 @@ class MinibatchTrainer(Trainer):
                  batch_size: int = 512, fanouts: Tuple[int, ...] = (10, 10)):
         # Trainer.__init__ builds the full graph (used for evaluation) and
         # the single-device step; we add the sampler machinery on top.
-        assert not config.num_devices or config.num_devices == 1, (
-            'minibatch training is single-device; the distributed path '
-            'edge-partitions the full graph instead')
+        # num_devices > 1 selects DATA parallelism over batch waves (the
+        # edge-partitioned distributed path lives in the full-graph
+        # Trainer), so the base class is always built single-device.
+        self.dp_devices = (config.num_devices
+                           if (config.num_devices or 1) > 1 else None)
         super().__init__(data, dataclasses.replace(config, num_devices=None))
         self.batch_size = batch_size
         self.fanouts = tuple(fanouts)
@@ -49,6 +60,15 @@ class MinibatchTrainer(Trainer):
         self.train_seeds = np.nonzero(data.train_mask)[0]
         self._rng = np.random.default_rng(config.seed)
         self._mb_step = self._make_minibatch_step()
+        if self.dp_devices:
+            from ..parallel.dp import make_data_mesh, make_dp_train_step
+            self.mesh = make_data_mesh(self.dp_devices)
+            template = self._build_batch(
+                self.train_seeds[:min(self.batch_size,
+                                      len(self.train_seeds))])[0]
+            self._dp_step = make_dp_train_step(
+                self.model, self.opt, template, self.mesh,
+                fixed_collections=self.fixed)
 
     def _make_minibatch_step(self):
         import functools
@@ -88,6 +108,8 @@ class MinibatchTrainer(Trainer):
         return g, Xb, jnp.asarray(labels), jnp.asarray(mask)
 
     def train_epoch(self) -> float:
+        if self.dp_devices:
+            return self._train_epoch_dp()
         order = self._rng.permutation(self.train_seeds)
         losses = []
         for i in range(0, len(order), self.batch_size):
@@ -104,6 +126,40 @@ class MinibatchTrainer(Trainer):
             (self.params, self.batch_stats, self.opt_state,
              loss) = self._mb_step(self.params, self.batch_stats,
                                    self.opt_state, Xb, g, labels, mask, rng)
+            losses.append(float(loss))
+        self.step_count += 1
+        return float(np.mean(losses)) if losses else float('nan')
+
+    def _train_epoch_dp(self) -> float:
+        """One epoch in waves of D per-device batches (parallel/dp.py)."""
+        from ..parallel.dp import stack_batches
+        D = self.dp_devices
+        order = self._rng.permutation(self.train_seeds)
+        if len(order) < self.batch_size:
+            self.step_count += 1
+            return float('nan')   # dataset smaller than one batch
+
+        def batch_seeds(k):
+            # k-th batch, cyclic over the epoch permutation: a contiguous
+            # cyclic slice of a permutation is unique within the batch
+            # whenever batch_size <= len(order)
+            start = (k * self.batch_size) % len(order)
+            idx = np.arange(start, start + self.batch_size) % len(order)
+            return order[idx]
+
+        n_batches = -(-len(order) // self.batch_size)
+        n_batches = -(-n_batches // D) * D      # full waves only
+        losses = []
+        for w in range(0, n_batches, D):
+            parts = [self._build_batch(batch_seeds(w + d)) for d in range(D)]
+            stacked = stack_batches([p[0] for p in parts],
+                                    [p[1] for p in parts],
+                                    [p[2] for p in parts],
+                                    [p[3] for p in parts])
+            self._key, rng = jax.random.split(self._key)
+            (self.params, self.opt_state, self.batch_stats,
+             loss) = self._dp_step(self.params, self.opt_state,
+                                   self.batch_stats, *stacked, rng)
             losses.append(float(loss))
         self.step_count += 1
         return float(np.mean(losses)) if losses else float('nan')
