@@ -34,6 +34,9 @@ def _add_train_args(p):
                    help='edge-partition the graph over this many devices')
     p.add_argument('--slice-chunk', type=int, default=None,
                    help='serialize the slice axis in chunks (memory cap)')
+    p.add_argument('--eval-node-chunk', type=int, default=None,
+                   help='exact layer-wise evaluation in recipient chunks '
+                        'of this size (memory cap for huge graphs)')
     p.add_argument('--exchange', default='all_gather',
                    choices=['all_gather', 'all_to_all', 'overlap'],
                    help='boundary feature exchange for distributed runs')
@@ -72,6 +75,7 @@ def cmd_train(args) -> int:
         mlp_layers=args.mlp_layers, dropout=args.dropout, seed=args.seed,
         num_devices=args.num_devices, exchange=args.exchange,
         slice_chunk=args.slice_chunk,
+        eval_node_chunk=args.eval_node_chunk,
         checkpoint_dir=args.checkpoint_dir,
         auto_resume=not args.no_auto_resume,
         metrics_path=args.metrics_path,

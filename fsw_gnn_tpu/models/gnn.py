@@ -58,33 +58,47 @@ class FSWGNN(nn.Module):
                 'the overlap exchange does not support edge features')
         gather = gather_fn if gather_fn is not None else (lambda x: x)
         x_local = vertex_features
-        d_in = self.in_channels
         for i, d_out in enumerate(self.hidden_dims):
-            is_last = i == len(self.hidden_dims) - 1
             x_full = gather(x_local)
-            x_local = FSWConv(
-                in_channels=d_in,
-                out_channels=d_out,
-                edgefeat_dim=self.edgefeat_dim if i == 0 else 0,
-                embed_dim=self.embed_dim,
-                minimize_slice_coherence=self.minimize_slice_coherence,
-                encode_vertex_degrees=self.encode_vertex_degrees,
-                homog_degree_encoding=self.homog_degree_encoding,
-                mlp_layers=self.mlp_layers,
-                bias=self.bias,
-                mlp_activation_final=None if is_last else leaky_relu_02,
-                batchnorm_final=self.batchnorm and not is_last,
-                dropout_final=0.0 if is_last else self.dropout,
-                bn_axis_name=self.bn_axis_name,
-                dtype=self.dtype,
-                name=f'conv_{i}')(x_full, graph, train=train,
-                                  slice_chunk=self.slice_chunk,
-                                  recipient_features=x_local,
-                                  aggregate=self.aggregate,
-                                  proj_gather_fn=proj_gather_fn,
-                                  exchange_chunks=exchange_chunks)
-            d_in = d_out
+            x_local = gnn_layer_conv(self, i)(
+                x_full, graph, train=train,
+                slice_chunk=self.slice_chunk,
+                recipient_features=x_local,
+                aggregate=self.aggregate,
+                proj_gather_fn=proj_gather_fn,
+                exchange_chunks=exchange_chunks)
         return x_local
+
+
+def gnn_layer_conv(model: 'FSWGNN', i: int) -> FSWConv:
+    """The i-th layer's FSWConv of an FSWGNN (named 'conv_{i}').
+
+    A FREE function, not a Module method: flax wraps module methods and
+    pushes `self` onto the module context stack, so a method constructing
+    the FSWConv outside apply() would capture an unbound parent and trip
+    flax's scope assert.  Called from FSWGNN.__call__ (where the compact
+    context parents it normally) AND from exact memory-capped layer-wise
+    inference (train/infer.layerwise_predict), which applies each layer
+    standalone with the matching 'conv_{i}' parameter subtree -- one
+    construction site so the two paths can never drift."""
+    d_in = (model.in_channels if i == 0 else model.hidden_dims[i - 1])
+    is_last = i == len(model.hidden_dims) - 1
+    return FSWConv(
+        in_channels=d_in,
+        out_channels=model.hidden_dims[i],
+        edgefeat_dim=model.edgefeat_dim if i == 0 else 0,
+        embed_dim=model.embed_dim,
+        minimize_slice_coherence=model.minimize_slice_coherence,
+        encode_vertex_degrees=model.encode_vertex_degrees,
+        homog_degree_encoding=model.homog_degree_encoding,
+        mlp_layers=model.mlp_layers,
+        bias=model.bias,
+        mlp_activation_final=None if is_last else leaky_relu_02,
+        batchnorm_final=model.batchnorm and not is_last,
+        dropout_final=0.0 if is_last else model.dropout,
+        bn_axis_name=model.bn_axis_name,
+        dtype=model.dtype,
+        name=f'conv_{i}')
 
 
 class FSWGraphClassifier(nn.Module):

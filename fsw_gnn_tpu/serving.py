@@ -83,19 +83,62 @@ def export_from_checkpoint(checkpoint_dir: str, model, variables_like,
                           platform=platform)
 
 
+def multi_envelope(reference_graph: Graph, max_nodes: int,
+                   headroom: float = 1.5):
+    """A pinned degree-class envelope (classes, class_rows) for the
+    MultiTable fast serving path, sized from a representative graph.
+
+    classes: bucket widths covering `headroom` x the reference max degree;
+    class_rows: per-class padded row capacities -- the reference's class
+    occupancy x headroom, except class 0 which must hold every possible
+    zero/low-degree row (envelope padding makes node-count slack land
+    there), so it is pinned to max_nodes.
+    """
+    from .graph import degree_classes
+    row_ptr = np.asarray(reference_graph.row_ptr, np.int64)
+    E_real = reference_graph.num_edges
+    deg = (np.minimum(row_ptr[1:], E_real)
+           - np.minimum(row_ptr[:-1], E_real))
+    max_deg = int(deg.max()) if deg.size else 1
+    classes = degree_classes(max(int(np.ceil(max_deg * headroom)), 1))
+    cls_of = np.zeros(deg.shape[0], np.int64)
+    for ci, Bc in enumerate(classes):
+        lo = 0 if ci == 0 else classes[ci - 1]
+        cls_of[(deg > lo) & (deg <= Bc)] = ci
+    cls_of[deg == 0] = 0
+    counts = np.bincount(cls_of, minlength=len(classes))
+    rows = [int(min(max_nodes,
+                    max(8, -(-int(c * headroom) // 8) * 8)))
+            for c in counts]
+    rows[0] = int(max_nodes)
+    return list(classes), rows
+
+
 class GraphServer:
     """One-compile online inference over arbitrary request graphs.
 
-    Uses the CSR path: unlike the degree-bucketed table layouts, the CSR
-    layout's array shapes depend only on the (max_nodes, max_edges)
-    envelope, never on a request's degree distribution, so every request
-    hits the same compiled executable.  Requests are padded with isolated
-    nodes (zero features, zero in-edges -> phantom-mass neighborhoods) and
-    zero-weight edges, both exact no-ops for real outputs.
+    Two layouts:
+      * 'csr' (always available): the CSR layout's array shapes depend
+        only on the (max_nodes, max_edges) envelope, never on a request's
+        degree distribution, so every request hits the same compiled
+        executable.
+      * 'multi' (the fast path, ~2.2x per BENCH.md ablations): a PINNED
+        degree-class envelope (`classes` + per-class `class_rows`, e.g.
+        from `multi_envelope`) makes the MultiTable layout's shapes
+        request-independent too -- exactly the trick the distributed
+        partitioner uses to stack per-shard tables.  Requests whose degree
+        histogram fits the envelope run the MultiTable + rank-kernel path;
+        overflowing requests fall back to the CSR executable (both
+        compiled once).
+
+    Requests are padded with isolated nodes (zero features, zero in-edges
+    -> phantom-mass neighborhoods) and zero-weight edges, both exact
+    no-ops for real outputs.
     """
 
     def __init__(self, model, variables, max_nodes: int, max_edges: int,
-                 *, d_edge: int = 0, dtype=jnp.float32):
+                 *, d_edge: int = 0, dtype=jnp.float32,
+                 classes=None, class_rows=None):
         self.model = model
         self.variables = variables
         self.max_nodes = int(max_nodes)
@@ -104,14 +147,34 @@ class GraphServer:
         self.dtype = dtype
         self._fwd = jax.jit(
             lambda variables, X, g: model.apply(variables, X, g))
+        assert (classes is None) == (class_rows is None), (
+            'pass classes and class_rows together (see multi_envelope)')
+        self.classes = None if classes is None else list(classes)
+        self.class_rows = None if class_rows is None else list(class_rows)
+        self.fallbacks = 0          # requests that overflowed the envelope
+        if self.classes is not None:
+            assert len(self.classes) == len(self.class_rows)
+            self._fwd_multi = jax.jit(
+                lambda variables, X, mt: model.apply(variables, X, mt))
 
     def _pad_graph(self, edge_index, edge_features=None) -> Graph:
-        g = from_edge_index(edge_index, self.max_nodes,
-                            edge_features=edge_features,
-                            pad_to=self.max_edges, dtype=self.dtype)
-        # num_edges is static pytree aux data; normalize it so every
-        # request shares one jit cache entry
-        return dataclasses.replace(g, num_edges=self.max_edges)
+        return from_edge_index(edge_index, self.max_nodes,
+                               edge_features=edge_features,
+                               pad_to=self.max_edges, dtype=self.dtype)
+
+    def _fits_envelope(self, g: Graph) -> bool:
+        row_ptr = np.asarray(g.row_ptr, np.int64)
+        deg = (np.minimum(row_ptr[1:], g.num_edges)
+               - np.minimum(row_ptr[:-1], g.num_edges))
+        if deg.size and int(deg.max()) > self.classes[-1]:
+            return False
+        cls_of = np.zeros(deg.shape[0], np.int64)
+        for ci, Bc in enumerate(self.classes):
+            lo = 0 if ci == 0 else self.classes[ci - 1]
+            cls_of[(deg > lo) & (deg <= Bc)] = ci
+        cls_of[deg == 0] = 0
+        counts = np.bincount(cls_of, minlength=len(self.classes))
+        return bool(np.all(counts <= np.asarray(self.class_rows)))
 
     def predict(self, edge_index, features, edge_features=None) -> np.ndarray:
         """edge_index (2, E), features (N, d_in); returns (N, out_dim)."""
@@ -127,9 +190,30 @@ class GraphServer:
         Xp = np.zeros((self.max_nodes, features.shape[1]), np.float32)
         Xp[:N] = features
         g = self._pad_graph(edge_index, edge_features)
-        out = self._fwd(self.variables, jnp.asarray(Xp, self.dtype), g)
+        X_dev = jnp.asarray(Xp, self.dtype)
+        if self.classes is not None and self._fits_envelope(g):
+            from .graph import to_multi_table
+            mt = to_multi_table(g, classes=self.classes,
+                                class_rows=self.class_rows)
+            # num_edges is static pytree aux data at BOTH levels (the
+            # MultiTable and each class table records its real entry
+            # count); normalize so every request shares one jit cache entry
+            mt = dataclasses.replace(
+                mt, num_edges=self.max_edges,
+                tables=tuple(dataclasses.replace(t, num_edges=0)
+                             for t in mt.tables))
+            out = self._fwd_multi(self.variables, X_dev, mt)
+        else:
+            if self.classes is not None:
+                self.fallbacks += 1
+            g = dataclasses.replace(g, num_edges=self.max_edges)
+            out = self._fwd(self.variables, X_dev, g)
         return np.asarray(out[:N])
 
     def num_compiles(self) -> int:
-        """Compiled-executable count (1 after any number of requests)."""
-        return int(self._fwd._cache_size())
+        """Compiled-executable count per path (1 after any number of
+        requests that stay on that path)."""
+        n = int(self._fwd._cache_size())
+        if self.classes is not None:
+            n += int(self._fwd_multi._cache_size())
+        return n

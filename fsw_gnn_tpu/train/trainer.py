@@ -74,6 +74,11 @@ class TrainConfig:
     metrics_path: Optional[str] = None      # append per-epoch metrics as
                                             # JSON lines (structured export
                                             # for external observability)
+    eval_node_chunk: Optional[int] = None   # exact layer-wise inference in
+                                            # recipient chunks of this size
+                                            # (memory-capped evaluation for
+                                            # ogbn-products-scale graphs;
+                                            # train/infer.py)
     trace_dir: Optional[str] = None         # jax.profiler trace output
     compilation_cache: Optional[str] = None  # persist compiled XLA
                                              # executables at this dir
@@ -145,6 +150,11 @@ class Trainer:
                                           self.shards)
             self.labels_s, self.train_mask_s = shard_recipient_labels(
                 data.labels, data.train_mask.astype(np.float32), self.shards)
+            # sharded split masks so evaluate() never unshards logits
+            _, self.val_mask_s = shard_recipient_labels(
+                data.labels, data.val_mask.astype(np.float32), self.shards)
+            _, self.test_mask_s = shard_recipient_labels(
+                data.labels, data.test_mask.astype(np.float32), self.shards)
             self._step = make_distributed_train_step(
                 self.model, self.opt, self.shards, self.mesh,
                 fixed_collections=self.fixed, exchange=config.exchange,
@@ -214,9 +224,38 @@ class Trainer:
         if self.distributed:
             stacked = self._fwd(variables, self.Xs, self.shards)
             return unshard_recipient_values(stacked, self.shards)
+        if self.cfg.eval_node_chunk:
+            from .infer import layerwise_predict
+            return layerwise_predict(self.model, variables, self.X,
+                                     self.graph, self.cfg.eval_node_chunk,
+                                     slice_chunk=self.cfg.slice_chunk)
         return np.asarray(self._fwd(variables, self.X))
 
+    @staticmethod
+    @jax.jit
+    def _split_accuracy(stacked_logits, labels_s, mask_s):
+        """(correct, count) over sharded [P, R_shard, C] logits -- the
+        reduction runs on-device (XLA inserts the cross-shard psum), so
+        evaluation never unshards the logits to the host."""
+        pred = jnp.argmax(stacked_logits, -1)
+        ok = (pred == labels_s).astype(jnp.float32) * mask_s
+        return jnp.sum(ok), jnp.sum(mask_s)
+
     def evaluate(self) -> Dict[str, float]:
+        if self.distributed:
+            variables = {'params': self.params, **self.batch_stats,
+                         **self.fixed}
+            stacked = self._fwd(variables, self.Xs, self.shards)
+            out = {}
+            for split, mask_s in (('train', self.train_mask_s),
+                                  ('val', self.val_mask_s),
+                                  ('test', self.test_mask_s)):
+                correct, count = self._split_accuracy(stacked, self.labels_s,
+                                                      mask_s)
+                count = float(count)
+                out[f'{split}_acc'] = (float(correct) / count if count
+                                       else float('nan'))
+            return out
         logits = self.predict()
         pred = logits.argmax(-1)
         y = self.data.labels

@@ -75,6 +75,50 @@ def test_graph_server_one_compile_many_graphs():
         pass
 
 
+def test_graph_server_multi_fast_path():
+    """A pinned degree-class envelope serves on the MultiTable fast path
+    with ONE compile; results match the CSR server exactly; an
+    envelope-overflowing request falls back to the CSR executable."""
+    from fsw_gnn_tpu.serving import GraphServer, multi_envelope
+    rng = np.random.default_rng(5)
+    d_in, d_out = 5, 3
+    model = FSWGNN(in_channels=d_in, hidden_dims=(6, d_out),
+                   minimize_slice_coherence=False)
+    n0 = 24
+    ei0 = _random_graph(rng, n0)
+    g0 = from_edge_index(ei0, n0)
+    X0 = rng.standard_normal((n0, d_in)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X0), g0)
+
+    classes, class_rows = multi_envelope(g0, max_nodes=64)
+    assert class_rows[0] == 64          # node-count slack lands in class 0
+    srv = GraphServer(model, variables, max_nodes=64, max_edges=2048,
+                      classes=classes, class_rows=class_rows)
+    ref = GraphServer(model, variables, max_nodes=64, max_edges=2048)
+    for seed, n in [(1, 24), (2, 33), (3, 9)]:
+        r = np.random.default_rng(seed)
+        ei = _random_graph(r, n)
+        X = r.standard_normal((n, d_in)).astype(np.float32)
+        np.testing.assert_allclose(srv.predict(ei, X), ref.predict(ei, X),
+                                   rtol=5e-5, atol=1e-5)
+    assert srv.fallbacks == 0
+    assert srv._fwd_multi._cache_size() == 1    # fast path, one compile
+    assert srv._fwd._cache_size() == 0          # CSR never ran
+
+    # a request whose max degree exceeds the envelope falls back to CSR
+    star_n = 50
+    hub = np.zeros(star_n - 1, np.int64)
+    spokes = np.arange(1, star_n, dtype=np.int64)
+    ei_star = np.stack([spokes, hub])           # everyone -> node 0
+    Xs = np.random.default_rng(7).standard_normal(
+        (star_n, d_in)).astype(np.float32)
+    got = srv.predict(ei_star, Xs)
+    want = ref.predict(ei_star, Xs)
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-5)
+    assert srv.fallbacks == 1
+    assert srv.num_compiles() == 2              # one per path
+
+
 def test_export_from_checkpoint(tmp_path):
     """Checkpoint directory -> artifact -> same logits as the live model."""
     from fsw_gnn_tpu.data import synthetic_planted_partition
