@@ -183,6 +183,61 @@ def main():
     def body_sin_only(P, wn, pos):
         return jnp.sin(P)
 
+    # round-to-nearest via the f32 magic constant: (x + 1.5*2^23) - 1.5*2^23
+    # forces the mantissa to integer precision (valid for |x| < ~2^22,
+    # round-half-to-even).  jnp.round measures ~27 FMA-equivalents on the
+    # VPU; this is 2 adds.  NB a python float, NOT jnp.float32: a concrete
+    # jnp scalar becomes a captured constant, which pallas_call rejects.
+    MAGIC = float(1.5 * 2 ** 23)
+
+    def _wrap_magic(u):
+        return u - ((u + MAGIC) - MAGIC)
+
+    def body_magic_round_only(P, wn, pos):
+        return _wrap_magic(P)
+
+    def _sincos_poly_magic(u):
+        """(sin, cos) of 2*pi*u, u in [-0.5, 0.5], cos via one extra
+        magic-wrap of u + 0.25."""
+        s = _sin2pi(u)
+        return s, _sin2pi(_wrap_magic(u + 0.25))
+
+    def _trig_poly_magic(ws, c, f):
+        u_cos = _wrap_magic(0.5 * f * (2.0 * c - ws))
+        sin_t, cos_t = _sincos_poly_magic(u_cos)
+        x = f * ws
+        u_sin = _wrap_magic(0.5 * x)
+        sin_fw, cos_fw = _sincos_poly_magic(u_sin)
+        safe = jnp.where(x == 0.0, jnp.ones_like(x), x)
+        sinc_t = jnp.where(x == 0.0, jnp.ones_like(x),
+                           sin_fw / (jnp.pi * safe))
+        return sinc_t, cos_t, sin_t, cos_fw
+
+    def body_fwd_tail_poly2(P, wn, pos):
+        ws = jnp.broadcast_to(wn[:, :, None], P.shape)
+        c = 0.3 * P + ws
+        f = 0.7 + 0.001 * jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, S), 2).astype(jnp.float32)
+        sinc_t, cos_t, _, _ = _trig_poly_magic(ws, c, f)
+        return (1.0 + f) * (P * (2.0 * ws * sinc_t * cos_t))
+
+    def body_bwd_tail_poly2(P, wn, pos):
+        ws = jnp.broadcast_to(wn[:, :, None], P.shape)
+        c = 0.3 * P + ws
+        f = 0.7 + 0.001 * jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, S), 2).astype(jnp.float32)
+        g1 = 1.0 + f
+        sinc_t, cos_t, sin_t, cos_fw = _trig_poly_magic(ws, c, f)
+        sd = 2.0 * ws * sinc_t * cos_t
+        dp = g1 * sd
+        dc = g1 * P * (-2.0 * TWO_PI) * f * ws * sinc_t * sin_t
+        fsafe = jnp.where(f == 0.0, jnp.ones_like(f), f)
+        phi_f = 2.0 * ws * (
+            jnp.where(f == 0.0, jnp.zeros_like(f), (cos_fw - sinc_t) / fsafe)
+            * cos_t
+            - jnp.pi * (2.0 * c - ws) * sinc_t * sin_t)
+        return dp + dc + P * sd + P * phi_f
+
     def body_round_only(P, wn, pos):
         return P - jnp.round(P)
 
@@ -233,7 +288,10 @@ def main():
               'sincos_poly_only': (body_sincos_poly_only, 40, 1),
               'bwd_arith_only': (body_bwd_arith_only, 35, 1),
               'fwd_tail_poly': (body_fwd_tail_poly, 25, 1),
-              'bwd_tail_poly': (body_bwd_tail_poly, 60, 1)}
+              'bwd_tail_poly': (body_bwd_tail_poly, 60, 1),
+              'magic_round_only': (body_magic_round_only, 3, 1),
+              'fwd_tail_poly2': (body_fwd_tail_poly2, 25, 1),
+              'bwd_tail_poly2': (body_bwd_tail_poly2, 60, 1)}
     only = os.environ.get('FSW_PROBE_ONLY')
     if only:
         BODIES = {k: v for k, v in BODIES.items()

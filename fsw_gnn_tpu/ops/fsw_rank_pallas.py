@@ -45,6 +45,7 @@ via broadcasted_iota.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +80,58 @@ def _rank_c(P, wn, pos):
     return c
 
 
+# ---- f32 fast trig (measured, benchmarks/probe_select_ceiling.py) ----
+# The VPU's jnp.sin/cos/round are multi-op sequences: sin measures ~120
+# FMA-equivalents, round ~27.  Since we already range-reduce to one period,
+# both are replaceable by cheap exact-shape primitives:
+#   * round-to-nearest via int32 conversion: trunc(u + copysign(0.5, u))
+#     (select, add, fptosi, sitofp -- all single VPU ops; valid for
+#     |u| < 2^30, u here is O(freq)).  NOT the classic magic-constant
+#     trick (u + 1.5*2^23) - 1.5*2^23: XLA's algebraic simplifier folds
+#     that to u under jit (measured -- eager correct, jit returns u), so
+#     it silently breaks everywhere outside the Mosaic lowering.  Ties
+#     round half-away (vs jnp.round's half-even); immaterial here because
+#     a tie puts the wrapped argument at exactly +/-0.5 period where
+#     sin2pi is 0 from both directions.
+#   * sin(2*pi*u), u in [-0.5, 0.5]: fold to the quarter period with
+#     |.|/min/sign (near-free selects) + a degree-13 odd Taylor polynomial
+#     in Horner form (6 FMA + 2 mul; max abs err 1.95e-7 ~ 1.6 f32 ulp,
+#     checked against f64 numpy in the probe and tests).
+# f64 (interpret-mode parity tests) keeps the exact jnp path: the poly's
+# truncation error (~9e-11) would break the machine-eps oracle tests, and
+# f64 never runs on the TPU hot path.
+_SIN_COEF = tuple(
+    (-1.0) ** k * (2.0 * math.pi) ** (2 * k + 1)
+    / float(math.factorial(2 * k + 1)) for k in range(7))
+
+
+def _round_wrap(u):
+    """u - round-to-nearest(u); f32 takes the 4-op int-conversion path."""
+    if u.dtype == jnp.float32:
+        half = jnp.where(u >= 0, 0.5, -0.5)
+        return u - (u + half).astype(jnp.int32).astype(jnp.float32)
+    return u - jnp.round(u)
+
+
+def _sin2pi_poly(u):
+    """sin(2*pi*u) for u in [-0.5, 0.5]: quarter-period fold + odd poly."""
+    a = jnp.abs(u)
+    t = jnp.minimum(a, 0.5 - a)              # sin(2*pi*a) = sin(2*pi*t)
+    t2 = t * t
+    p = jnp.full_like(u, _SIN_COEF[-1])
+    for coef in _SIN_COEF[-2::-1]:
+        p = p * t2 + coef
+    return jnp.sign(u) * (p * t)
+
+
+def _sincos2pi(u):
+    """(sin, cos) of 2*pi*u with u already wrapped to [-0.5, 0.5]."""
+    if u.dtype == jnp.float32:
+        return _sin2pi_poly(u), _sin2pi_poly(_round_wrap(u + 0.25))
+    ang = TWO_PI * u
+    return jnp.sin(ang), jnp.cos(ang)
+
+
 def _trig(ws, c, f):
     """Range-reduced trig pieces shared by fwd/bwd.
 
@@ -86,17 +139,11 @@ def _trig(ws, c, f):
       sinc_t = sinc(f w); cos_t = cos A; sin_t = sin A; cos_fw = cos(pi f w)
       with A = pi f (2c - w).
     """
-    u_cos = 0.5 * f * (2.0 * c - ws)
-    u_cos = u_cos - jnp.round(u_cos)
-    ang = TWO_PI * u_cos
-    cos_t = jnp.cos(ang)
-    sin_t = jnp.sin(ang)
+    u_cos = _round_wrap(0.5 * f * (2.0 * c - ws))
+    sin_t, cos_t = _sincos2pi(u_cos)
     x = f * ws
-    u_sin = 0.5 * x
-    u_sin = u_sin - jnp.round(u_sin)
-    ang2 = TWO_PI * u_sin
-    sin_fw = jnp.sin(ang2)
-    cos_fw = jnp.cos(ang2)
+    u_sin = _round_wrap(0.5 * x)
+    sin_fw, cos_fw = _sincos2pi(u_sin)
     safe = jnp.where(x == 0.0, jnp.ones_like(x), x)
     sinc_t = jnp.where(x == 0.0, jnp.ones_like(x), sin_fw / (jnp.pi * safe))
     return sinc_t, cos_t, sin_t, cos_fw

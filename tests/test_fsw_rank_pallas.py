@@ -385,3 +385,75 @@ def test_fuzz_rank_vs_sort(trial):
     else:
         assert not np.any(np.asarray(g_r[1]))
         assert not np.any(np.asarray(g_r[2]))
+
+
+# ---------------------------------------------------------------------------
+# f32 fast trig (poly sin2pi + magic-constant round; probe_select_ceiling.py)
+
+def test_round_wrap_f32_matches_numpy_round():
+    """The int-conversion round is BIT-exact vs round-to-nearest off ties;
+    exact .5 ties round half-away (vs np.round's half-even), which the
+    trig path is insensitive to (sin2pi(+0.5) == sin2pi(-0.5) == 0).
+    Must hold under jit too: the classic magic-constant trick is folded
+    away by XLA's algebraic simplifier, which is why it is NOT used."""
+    from fsw_gnn_tpu.ops.fsw_rank_pallas import _round_wrap
+    u = np.concatenate([
+        np.linspace(-300.0, 300.0, 200003),
+        np.arange(-20, 20) + 0.5,                       # exact ties
+        np.array([0.0, -0.0, 0.49999997, -0.49999997]),
+    ]).astype(np.float32)
+    u64 = u.astype(np.float64)
+    want = u - np.trunc(u64 + np.copysign(0.5, u64)).astype(np.float32)
+    # the f32 add u + 0.5 can itself round, shifting the effective tie
+    # boundary by <= half an ulp of u (e.g. 0.49999997f + 0.5f ties to
+    # 1.0): inside that band either neighbor is acceptable -- the wrapped
+    # argument lands at ~+/-0.5 where sin2pi is ~0 from both sides
+    near_tie = np.abs(np.abs(u64 - np.rint(u64)) - 0.5) < 6e-8 * np.maximum(
+        1.0, np.abs(u64))
+    for f in (_round_wrap, jax.jit(_round_wrap)):
+        got = np.asarray(f(jnp.asarray(u)))
+        np.testing.assert_array_equal(got[~near_tie], want[~near_tie])
+        assert np.all(np.abs(got[near_tie]) <= 0.5 + 1e-6)
+        # off ties it equals round-half-even as well
+        tie = np.abs(u64 - np.floor(u64)) == 0.5
+        keep = ~tie & ~near_tie
+        np.testing.assert_array_equal(
+            got[keep], (u - np.round(u64).astype(np.float32))[keep])
+
+
+def test_sin2pi_poly_accuracy():
+    """Max abs error of the degree-13 odd polynomial vs f64 sin over the
+    full wrapped period: ~1.6 f32 ulp."""
+    from fsw_gnn_tpu.ops.fsw_rank_pallas import _sin2pi_poly
+    u = np.linspace(-0.5, 0.5, 100001).astype(np.float32)
+    got = np.asarray(_sin2pi_poly(jnp.asarray(u)))
+    want = np.sin(2 * np.pi * u.astype(np.float64))
+    assert np.max(np.abs(got - want)) < 2.5e-7
+
+
+@pytest.mark.parametrize('ties', [False, True])
+def test_f32_fast_trig_kernel_parity(ties):
+    """The f32 kernel (which routes _trig through the poly+magic path)
+    matches the f64 exact kernel at f32 accuracy, forward and gradients.
+    This is the production path: on TPU every rank kernel runs f32."""
+    rng = np.random.default_rng(11)
+    R, B, S = 9, 16, 10
+    P, wn, pad, freqs = _rand_args(rng, R, B, S, ties)
+    V = jnp.asarray(rng.standard_normal((R, S)))
+    args32 = tuple(jnp.asarray(a, jnp.float32) for a in (P, wn, pad, freqs))
+
+    def loss(P, wn, pad, freqs):
+        out = fsw_rank_aggregate(P, wn, pad, freqs, None, True)
+        return jnp.sum(out * V.astype(out.dtype)), out
+
+    (v64, out64), g64 = jax.value_and_grad(
+        loss, argnums=(0, 1, 2, 3), has_aux=True)(P, wn, pad, freqs)
+    (v32, out32), g32 = jax.value_and_grad(
+        loss, argnums=(0, 1, 2, 3), has_aux=True)(*args32)
+
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(out64),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(v32), float(v64), rtol=2e-5, atol=1e-5)
+    for a, b, name in zip(g32, g64, ['dP', 'dwn', 'dpad', 'dfreqs']):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=5e-5, err_msg=name)
