@@ -72,9 +72,13 @@ def main():
     # method='global' IS cumsum-minus-base (the label); the default
     # 'restart' associative_scan takes pathologically long to compile at
     # 16M elements through the remote-compile tunnel (observed >65 min,
-    # never finished)
-    out_x, _ = timed(lambda v, s: segment_cumsum(v, s, method='global'),
-                     'xla_cumsum_minus_base')
+    # never finished).  FSW_SEGBENCH_SKIP_XLA=1 skips the control (kernel
+    # ladder runs only; disagreement check vs the first pallas variant).
+    skip_xla = os.environ.get('FSW_SEGBENCH_SKIP_XLA') == '1'
+    out_x = None
+    if not skip_xla:
+        out_x, _ = timed(lambda v, s: segment_cumsum(v, s, method='global'),
+                         'xla_cumsum_minus_base')
     rows_list = [int(r) for r in
                  os.environ.get('FSW_SEGBENCH_ROWS', '1024').split(',')]
     # honest static bound on the longest segment (the reference computes the
@@ -82,12 +86,39 @@ def main():
     max_seg = int(np.max(np.bincount(ids)))
     print(json.dumps({'max_seg_size': max_seg}))
     out_p = None
+    # FSW_SEGBENCH_VARIANTS: comma-set from {scan, scan_capped, matmul,
+    # matmul_nonneg, matmul_capped}; matmul_* are the one-pass MXU
+    # formulation (triangular matmul + fill-forward), _nonneg the
+    # running-max fill (values are abs()'d by the harness for honesty).
+    variants = os.environ.get(
+        'FSW_SEGBENCH_VARIANTS', 'scan,scan_capped').split(',')
     for rows in rows_list:
-        out_p, _ = timed(lambda v, s, r=rows: segcumsum_pallas(
-            v, s, rows_per_block=r), f'pallas_segscan_rows{rows}')
-        out_p, _ = timed(lambda v, s, r=rows: segcumsum_pallas(
-            v, s, rows_per_block=r, max_seg_size=max_seg),
-            f'pallas_segscan_rows{rows}_capped')
+        if 'scan' in variants:
+            out_p, _ = timed(lambda v, s, r=rows: segcumsum_pallas(
+                v, s, rows_per_block=r), f'pallas_segscan_rows{rows}')
+        if 'scan_capped' in variants:
+            out_p, _ = timed(lambda v, s, r=rows: segcumsum_pallas(
+                v, s, rows_per_block=r, max_seg_size=max_seg),
+                f'pallas_segscan_rows{rows}_capped')
+        if 'matmul' in variants:
+            out_p, _ = timed(lambda v, s, r=rows: segcumsum_pallas(
+                v, s, rows_per_block=r, method='matmul'),
+                f'pallas_matmul_rows{rows}')
+        if 'matmul_capped' in variants:
+            out_p, _ = timed(lambda v, s, r=rows: segcumsum_pallas(
+                v, s, rows_per_block=r, method='matmul',
+                max_seg_size=max_seg), f'pallas_matmul_rows{rows}_capped')
+        if 'matmul_nonneg' in variants:
+            v = jnp.abs(v)                  # honesty: the fill is max-based
+            out_p, _ = timed(lambda v, s, r=rows: segcumsum_pallas(
+                v, s, rows_per_block=r, method='matmul', nonnegative=True),
+                f'pallas_matmul_nonneg_rows{rows}')
+            if not skip_xla:
+                out_x, _ = timed(
+                    lambda v, s: segment_cumsum(v, s, method='global'),
+                    'xla_cumsum_minus_base_nonneg')
+    if out_x is None:                        # kernel-only run: cross-check
+        out_x = jax.jit(lambda v, s: segcumsum_pallas(v, s))(v, s)
     err = float(jnp.max(jnp.abs(out_x - out_p)) /
                 (1e-6 + float(jnp.max(jnp.abs(out_p)))))
     print(json.dumps({'max_rel_disagreement': err}))

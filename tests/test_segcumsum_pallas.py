@@ -81,3 +81,71 @@ def test_segment_restart_precision():
     # second segment must be accurate to f32 eps of ITS OWN magnitude
     second = slice(n // 2, None)
     np.testing.assert_allclose(got[second], want[second], rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# One-pass MXU formulation: triangular-matmul full prefix + fill-forward
+# base subtraction (method='matmul'), with the nonnegative running-max
+# shortcut (monotone prefix).
+
+@pytest.mark.parametrize('nonneg', [False, True])
+@pytest.mark.parametrize('n,nseg,rows', [
+    (128, 1, 8),           # single segment, single row
+    (1000, 37, 8),         # boundary mid-lane, padding tail
+    (8192, 100, 8),        # multiple blocks -> carry across tiles
+    (70000, 5, 64),        # long segments spanning many tiles
+    (4096, 4096, 8),       # every element its own segment
+])
+def test_segcumsum_matmul_matches_oracle(n, nseg, rows, nonneg):
+    rng = np.random.default_rng(n + 13)
+    ids = np.sort(rng.integers(0, nseg, n)).astype(np.int32)
+    vals = rng.standard_normal(n).astype(np.float32)
+    if nonneg:
+        vals = np.abs(vals)
+    got = segcumsum_pallas(jnp.asarray(vals), jnp.asarray(ids),
+                           rows_per_block=rows, interpret=True,
+                           method='matmul', nonnegative=nonneg)
+    want = _oracle(vals.astype(np.float64), ids)
+    # atol covers f32 accumulation noise over multi-thousand-element
+    # segment prefixes with cancellation (error ~ eps * running prefix,
+    # the same class as the scan path, different summation tree)
+    atol = 1e-4 if n // max(nseg, 1) > 4096 else 2e-5
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=atol)
+
+
+@pytest.mark.parametrize('nonneg', [False, True])
+def test_segcumsum_matmul_max_seg_size(nonneg):
+    """The fill-forward's doubling passes honor the same max_seg_size
+    contract as the direct scan (nearest previous segment end is at most
+    max_seg_size lanes back)."""
+    rng = np.random.default_rng(77)
+    for seg_len in (1, 2, 5, 127, 128, 129, 256):
+        n = seg_len * 7
+        ids = np.repeat(np.arange(7, dtype=np.int32), seg_len)
+        vals = rng.standard_normal(n).astype(np.float32)
+        if nonneg:
+            vals = np.abs(vals)
+        got = segcumsum_pallas(jnp.asarray(vals), jnp.asarray(ids),
+                               rows_per_block=8, interpret=True,
+                               max_seg_size=seg_len, method='matmul',
+                               nonnegative=nonneg)
+        want = _oracle(vals.astype(np.float64), ids)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
+                                   atol=2e-5, err_msg=f'seg_len={seg_len}')
+
+
+def test_segcumsum_matmul_restart_precision():
+    """The matmul formulation's error is bounded by the IN-ROW 128-element
+    prefix, not the global prefix: a huge segment in an earlier ROW must
+    not pollute later small segments."""
+    n = 2048
+    ids = np.concatenate([np.zeros(n // 2, np.int32),
+                          np.ones(n // 2, np.int32)])
+    vals = np.concatenate([np.full(n // 2, 1e6, np.float32),
+                           np.full(n // 2, 1e-3, np.float32)])
+    got = np.asarray(segcumsum_pallas(jnp.asarray(vals), jnp.asarray(ids),
+                                      interpret=True, method='matmul',
+                                      nonnegative=True))
+    want = _oracle(vals.astype(np.float64), ids)
+    second = slice(n // 2, None)
+    np.testing.assert_allclose(got[second], want[second], rtol=1e-5)
