@@ -113,40 +113,94 @@ def _round_wrap(u):
     return u - jnp.round(u)
 
 
+def _poly_quarter(t):
+    """sin(2*pi*t) for t already in [-0.25, 0.25]: bare odd Horner poly
+    (no fold -- the callers' shift identities land the argument here)."""
+    t2 = t * t
+    p = jnp.full_like(t, _SIN_COEF[-1])
+    for coef in _SIN_COEF[-2::-1]:
+        p = p * t2 + coef
+    return p * t
+
+
 def _sin2pi_poly(u):
     """sin(2*pi*u) for u in [-0.5, 0.5]: quarter-period fold + odd poly."""
     a = jnp.abs(u)
-    t = jnp.minimum(a, 0.5 - a)              # sin(2*pi*a) = sin(2*pi*t)
-    t2 = t * t
-    p = jnp.full_like(u, _SIN_COEF[-1])
-    for coef in _SIN_COEF[-2::-1]:
-        p = p * t2 + coef
-    return jnp.sign(u) * (p * t)
+    return jnp.sign(u) * _poly_quarter(jnp.minimum(a, 0.5 - a))
 
 
 def _sincos2pi(u):
-    """(sin, cos) of 2*pi*u with u already wrapped to [-0.5, 0.5]."""
+    """(sin, cos) of 2*pi*u with u already wrapped to [-0.5, 0.5].
+
+    f32 shares ONE |u| between both branches and never re-wraps:
+      cos(2*pi*u) = sin(2*pi*(1/4 - |u|)),        1/4 - |u| in [-1/4, 1/4]
+      sin(2*pi*u) = sgn(u) sin(2*pi*(1/4 - ||u| - 1/4|))
+    (shift identities; both arguments land in the poly's quarter period
+    directly).  This drops the cos path's extra _round_wrap -- including
+    its int32 round-trip -- and the min/sign fold of the old
+    double-_sin2pi_poly formulation; exact zeros at u in {0, +/-1/2} (sin)
+    and +/-1/4 (cos) are preserved by construction (t is exactly 0 there),
+    which keeps the small-f relative accuracy of sd = (2/(pi f)) sin_fw.
+    Either half is independently dead-code-eliminable when a kernel only
+    consumes one of the pair."""
     if u.dtype == jnp.float32:
-        return _sin2pi_poly(u), _sin2pi_poly(_round_wrap(u + 0.25))
+        a = jnp.abs(u)
+        cos = _poly_quarter(0.25 - a)
+        sin_mag = _poly_quarter(0.25 - jnp.abs(a - 0.25))
+        sin = jnp.where(u < 0.0, -sin_mag, sin_mag)
+        return sin, cos
     ang = TWO_PI * u
     return jnp.sin(ang), jnp.cos(ang)
 
 
 def _trig(ws, c, f):
-    """Range-reduced trig pieces shared by fwd/bwd.
+    """Range-reduced raw trig pieces shared by fwd/bwd.
 
-    Returns (sinc_t, cos_t, sin_t, cos_fw):
-      sinc_t = sinc(f w); cos_t = cos A; sin_t = sin A; cos_fw = cos(pi f w)
-      with A = pi f (2c - w).
+    Returns (sin_fw, cos_fw, sin_t, cos_t):
+      sin_fw = sin(pi f w); cos_fw = cos(pi f w); sin_t = sin A;
+      cos_t = cos A, with A = pi f (2c - w).
+
+    No sinc and no per-element divide: every sinc occurrence in the FSW
+    quadrature carries a factor that cancels the 1/(pi f w) denominator --
+      phi      = 2 w sinc(f w) cos A       = (2/(pi f)) sin(pi f w) cos A
+      dphi/dc  = -4 pi f w sinc(f w) sin A = -4 sin(pi f w) sin A
+      dphi/dw  = 2 cos(pi f w) cos A + 2 pi f w sinc(f w) sin A
+               = 2 (cos_fw cos_t + sin_fw sin_t)        [= 2 cos(A - pi f w)]
+    so the divide reduces to the per-SLICE constants of _freq_consts
+    (the probe measured the old divide/select tail at ~20-24% of FMA
+    retirement; the surviving tail is polys + wraps only).
     """
     u_cos = _round_wrap(0.5 * f * (2.0 * c - ws))
     sin_t, cos_t = _sincos2pi(u_cos)
-    x = f * ws
-    u_sin = _round_wrap(0.5 * x)
+    u_sin = _round_wrap(0.5 * f * ws)
     sin_fw, cos_fw = _sincos2pi(u_sin)
-    safe = jnp.where(x == 0.0, jnp.ones_like(x), x)
-    sinc_t = jnp.where(x == 0.0, jnp.ones_like(x), sin_fw / (jnp.pi * safe))
-    return sinc_t, cos_t, sin_t, cos_fw
+    return sin_fw, cos_fw, sin_t, cos_t
+
+
+def _freq_consts(f):
+    """Per-slice broadcast constants replacing the per-element sinc divide.
+
+    Computed on the small (1, S) / (1, 1, S) frequency array, so the cost
+    is one row of VPU work per kernel invocation.  f == 0 (padded slices,
+    or a learnable frequency passing through zero) routes sd through the
+    exact 2*ws limit via `fz`; the gradient formulas vanish at f = 0 on
+    their own (every term carries sin_fw or sin_t, both 0 there).
+    Returns (fz, c2f, inv2f, inv_pf):
+      fz = (f == 0); c2f = 2/(pi f); inv2f = 2/f; inv_pf = 1/(pi f)
+    (all zeroed at fz so padded slices contribute exact zeros downstream
+    instead of inf * 0 NaNs).
+    """
+    fz = f == 0.0
+    fsafe = jnp.where(fz, jnp.ones_like(f), f)
+    zero = jnp.zeros_like(f)
+    inv_f = jnp.where(fz, zero, 1.0 / fsafe)
+    return fz, (2.0 / jnp.pi) * inv_f, 2.0 * inv_f, (1.0 / jnp.pi) * inv_f
+
+
+def _sd(fz, c2f, ws, sin_fw, cos_t):
+    """phi = 2 w sinc(f w) cos A as (2/(pi f)) sin(pi f w) cos A, with the
+    exact f == 0 limit 2 w cos A selected by the broadcast mask."""
+    return jnp.where(fz, 2.0 * ws, c2f * sin_fw) * cos_t
 
 
 # The B-step loops are PYTHON-UNROLLED with static middle-axis slices
@@ -174,8 +228,9 @@ def _common(p_ref, wn_ref, pad_ref, freq_ref):
 
 def _fwd_kernel(p_ref, wn_ref, pad_ref, freq_ref, out_ref):
     P, wn, ws, c, f, pos = _common(p_ref, wn_ref, pad_ref, freq_ref)
-    sinc_t, cos_t, _, _ = _trig(ws, c, f)
-    sd = 2.0 * ws * sinc_t * cos_t
+    sin_fw, _, _, cos_t = _trig(ws, c, f)
+    fz, c2f, _, _ = _freq_consts(f)
+    sd = _sd(fz, c2f, ws, sin_fw, cos_t)
     out_ref[:] = (1.0 + freq_ref[:]) * jnp.sum(P * sd, axis=1)
 
 
@@ -191,16 +246,17 @@ def _bwd_kernel(with_dw, p_ref, wn_ref, pad_ref, freq_ref, g_ref,
     P, wn, ws, c, f, pos = _common(p_ref, wn_ref, pad_ref, freq_ref)
     g = g_ref[:]
     freq = freq_ref[:]
-    sinc_t, cos_t, sin_t, cos_fw = _trig(ws, c, f)
-    sd = 2.0 * ws * sinc_t * cos_t                   # phi
+    sin_fw, cos_fw, sin_t, cos_t = _trig(ws, c, f)
+    fz, c2f, inv2f, inv_pf = _freq_consts(f)
+    sd = _sd(fz, c2f, ws, sin_fw, cos_t)             # phi
 
     g1 = ((1.0 + freq) * g)[:, None, :]              # g*(1+f), (TR, 1, S)
 
     # dp: direct quadrature term
     dp_ref[:] = g1 * sd
 
-    # dc = g (1+f) p phi_c
-    dc = g1 * P * (-2.0 * TWO_PI) * f * ws * sinc_t * sin_t
+    # dc = g (1+f) p phi_c; phi_c = -4 pi f w sinc sin A = -4 sin_fw sin_t
+    dc = g1 * P * (-4.0) * sin_fw * sin_t
 
     if with_dw:
         # dpad = sum_{i, s} dc 1[p > 0].  Two-stage sum keeps every
@@ -211,8 +267,7 @@ def _bwd_kernel(with_dw, p_ref, wn_ref, pad_ref, freq_ref, g_ref,
             axis=1, keepdims=True)
 
         # dwn: explicit phi_w term + transposed-mask rank term
-        dphi_dw = (2.0 * cos_fw * cos_t +
-                   TWO_PI * f * ws * sinc_t * sin_t)
+        dphi_dw = 2.0 * (cos_fw * cos_t + sin_fw * sin_t)
         dwn = jnp.sum(g1 * P * dphi_dw, axis=2)      # (TR, B)
         cols = []
         for j in range(P.shape[1]):
@@ -222,12 +277,12 @@ def _bwd_kernel(with_dw, p_ref, wn_ref, pad_ref, freq_ref, g_ref,
                                 keepdims=True))
         dwn_ref[:] = dwn + jnp.concatenate(cols, axis=1)
 
-    # df_s = sum_r g [ q + (1+f) sum_i p phi_f ]
-    fsafe = jnp.where(f == 0.0, jnp.ones_like(f), f)
-    phi_f = 2.0 * ws * (
-        jnp.where(f == 0.0, jnp.zeros_like(f), (cos_fw - sinc_t) / fsafe)
-        * cos_t
-        - jnp.pi * (2.0 * c - ws) * sinc_t * sin_t)
+    # df_s = sum_r g [ q + (1+f) sum_i p phi_f ], with
+    # phi_f = (2/f) [w cos_fw cos_t - sin_fw cos_t/(pi f)
+    #                - (2c - w) sin_fw sin_t]   (0 at f = 0, its limit)
+    phi_f = inv2f * (ws * cos_fw * cos_t
+                     - inv_pf * sin_fw * cos_t
+                     - (2.0 * c - ws) * sin_fw * sin_t)
     q = jnp.sum(P * sd, axis=1)                      # (TR, S)
     df_tile = jnp.sum(
         g * (q + (1.0 + freq) * jnp.sum(P * phi_f, axis=1)),
@@ -466,8 +521,9 @@ def _fwdp_kernel(z_ref, wn_ref, pad_ref, freq_ref, v_ref, out_ref):
     c = c + jnp.where(P > 0, pad_b, jnp.zeros_like(c))
     ws = jnp.broadcast_to(wn[:, :, None], (TR, B, S))
     f = freq_ref[:][None, :, :]
-    sinc_t, cos_t, _, _ = _trig(ws, c, f)
-    sd = 2.0 * ws * sinc_t * cos_t
+    sin_fw, _, _, cos_t = _trig(ws, c, f)
+    fz, c2f, _, _ = _freq_consts(f)
+    sd = _sd(fz, c2f, ws, sin_fw, cos_t)
     out_ref[:] = (1.0 + freq_ref[:]) * jnp.sum(P * sd, axis=1)
 
 
@@ -491,21 +547,21 @@ def _bwdp_kernel(with_dw, z_ref, wn_ref, pad_ref, freq_ref, v_ref, g_ref,
     f = freq_ref[:][None, :, :]
     g = g_ref[:]
     freq = freq_ref[:]
-    sinc_t, cos_t, sin_t, cos_fw = _trig(ws, c, f)
-    sd = 2.0 * ws * sinc_t * cos_t                   # phi
+    sin_fw, cos_fw, sin_t, cos_t = _trig(ws, c, f)
+    fz, c2f, inv2f, inv_pf = _freq_consts(f)
+    sd = _sd(fz, c2f, ws, sin_fw, cos_t)             # phi
 
     g1 = ((1.0 + freq) * g)[:, None, :]              # (TR, 1, S)
 
     dp = g1 * sd                                     # stays in VMEM
-    dc = g1 * P * (-2.0 * TWO_PI) * f * ws * sinc_t * sin_t
+    dc = g1 * P * (-4.0) * sin_fw * sin_t
 
     if with_dw:
         dpad_ref[:] = jnp.sum(
             jnp.sum(jnp.where(P > 0, dc, jnp.zeros_like(dc)), axis=2),
             axis=1, keepdims=True)
 
-        dphi_dw = (2.0 * cos_fw * cos_t +
-                   TWO_PI * f * ws * sinc_t * sin_t)
+        dphi_dw = 2.0 * (cos_fw * cos_t + sin_fw * sin_t)
         dwn = jnp.sum(g1 * P * dphi_dw, axis=2)      # (TR, B)
         cols = []
         for j in range(B):
@@ -515,11 +571,9 @@ def _bwdp_kernel(with_dw, z_ref, wn_ref, pad_ref, freq_ref, v_ref, g_ref,
                                 keepdims=True))
         dwn_ref[:] = dwn + jnp.concatenate(cols, axis=1)
 
-    fsafe = jnp.where(f == 0.0, jnp.ones_like(f), f)
-    phi_f = 2.0 * ws * (
-        jnp.where(f == 0.0, jnp.zeros_like(f), (cos_fw - sinc_t) / fsafe)
-        * cos_t
-        - jnp.pi * (2.0 * c - ws) * sinc_t * sin_t)
+    phi_f = inv2f * (ws * cos_fw * cos_t
+                     - inv_pf * sin_fw * cos_t
+                     - (2.0 * c - ws) * sin_fw * sin_t)
     q = jnp.sum(P * sd, axis=1)                      # (TR, S)
     df_tile = jnp.sum(
         g * (q + (1.0 + freq) * jnp.sum(P * phi_f, axis=1)),
@@ -748,8 +802,9 @@ def _fwdc_kernel(n_freqs, p_ref, wn_ref, pad_ref, freq_ref, out_ref):
             rows.append(jnp.zeros((TR, 1, S), P.dtype))
             continue
         f = _cart_row(freq_ref, j, S)                # (1, 1, S)
-        sinc_t, cos_t, _, _ = _trig(ws, c, f)
-        sd = 2.0 * ws * sinc_t * cos_t
+        sin_fw, _, _, cos_t = _trig(ws, c, f)
+        fz, c2f, _, _ = _freq_consts(f)
+        sd = _sd(fz, c2f, ws, sin_fw, cos_t)
         q = jnp.sum(P * sd, axis=1, keepdims=True)   # (TR, 1, S)
         rows.append((1.0 + f) * q)
     out_ref[:] = jnp.concatenate(rows, axis=1)       # (TR, F_pad, S)
@@ -786,22 +841,20 @@ def _bwdc_kernel(n_freqs, with_dw, p_ref, wn_ref, pad_ref, freq_ref, g_ref,
             continue
         f = _cart_row(freq_ref, j, S)                # (1, 1, S)
         g_j = g[:, j:j + 1, :]                       # (TR, 1, S)
-        sinc_t, cos_t, sin_t, cos_fw = _trig(ws, c, f)
-        sd = 2.0 * ws * sinc_t * cos_t               # phi
+        sin_fw, cos_fw, sin_t, cos_t = _trig(ws, c, f)
+        fz, c2f, inv2f, inv_pf = _freq_consts(f)
+        sd = _sd(fz, c2f, ws, sin_fw, cos_t)         # phi
         g1 = (1.0 + f) * g_j
         dp = dp + g1 * sd
-        dc = dc + g1 * P * (-2.0 * TWO_PI) * f * ws * sinc_t * sin_t
+        dc = dc + g1 * P * (-4.0) * sin_fw * sin_t
         if with_dw:
-            dphi_dw = (2.0 * cos_fw * cos_t +
-                       TWO_PI * f * ws * sinc_t * sin_t)
+            dphi_dw = 2.0 * (cos_fw * cos_t + sin_fw * sin_t)
             term = jnp.sum(g1 * P * dphi_dw, axis=2)  # (TR, B)
             dwn_direct = term if dwn_direct is None else dwn_direct + term
         # df[j, s] = sum_r g [ q + (1+f) sum_b P phi_f ]
-        fsafe = jnp.where(f == 0.0, jnp.ones_like(f), f)
-        phi_f = 2.0 * ws * (
-            jnp.where(f == 0.0, jnp.zeros_like(f),
-                      (cos_fw - sinc_t) / fsafe) * cos_t
-            - jnp.pi * (2.0 * c - ws) * sinc_t * sin_t)
+        phi_f = inv2f * (ws * cos_fw * cos_t
+                         - inv_pf * sin_fw * cos_t
+                         - (2.0 * c - ws) * sin_fw * sin_t)
         q = jnp.sum(P * sd, axis=1, keepdims=True)   # (TR, 1, S)
         inner = (g_j * (q + (1.0 + f) *
                         jnp.sum(P * phi_f, axis=1, keepdims=True)))

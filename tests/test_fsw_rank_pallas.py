@@ -431,6 +431,23 @@ def test_sin2pi_poly_accuracy():
     assert np.max(np.abs(got - want)) < 2.5e-7
 
 
+def test_sincos2pi_f32_shared_fold():
+    """The f32 sincos pair (shift-identity folds, single |u|, no re-wrap)
+    matches f64 sin/cos to poly accuracy and keeps the exact zeros at
+    u in {0, +/-1/2} (sin) and +/-1/4 (cos)."""
+    from fsw_gnn_tpu.ops.fsw_rank_pallas import _sincos2pi
+    u = np.concatenate([
+        np.linspace(-0.5, 0.5, 100001),
+        np.array([0.0, -0.0, 0.5, -0.5, 0.25, -0.25]),
+    ]).astype(np.float32)
+    s, c = (np.asarray(v) for v in _sincos2pi(jnp.asarray(u)))
+    u64 = u.astype(np.float64)
+    np.testing.assert_allclose(s, np.sin(2 * np.pi * u64), atol=2.5e-7)
+    np.testing.assert_allclose(c, np.cos(2 * np.pi * u64), atol=2.5e-7)
+    assert s[-6] == 0.0 and s[-5] == 0.0 and s[-4] == 0.0 and s[-3] == 0.0
+    assert c[-2] == 0.0 and c[-1] == 0.0
+
+
 @pytest.mark.parametrize('ties', [False, True])
 def test_f32_fast_trig_kernel_parity(ties):
     """The f32 kernel (which routes _trig through the poly+magic path)
