@@ -238,11 +238,52 @@ def main():
             - jnp.pi * (2.0 * c - ws) * sinc_t * sin_t)
         return dp + dc + P * sd + P * phi_f
 
+    # ---- round-3 second pass: the PRODUCTION tails (divide-free sinc
+    # algebra + shared-fold sincos), imported from the kernel module so the
+    # probe measures exactly what ships.
+    from fsw_gnn_tpu.ops.fsw_rank_pallas import (
+        _trig as _trig_prod, _freq_consts as _fc_prod, _sd as _sd_prod)
+
+    def body_fwd_tail_new(P, wn, pos):
+        ws = jnp.broadcast_to(wn[:, :, None], P.shape)
+        c = 0.3 * P + ws
+        f = 0.7 + 0.001 * jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, S), 2).astype(jnp.float32)
+        sin_fw, _, _, cos_t = _trig_prod(ws, c, f)
+        fz, c2f, _, _ = _fc_prod(f)
+        sd = _sd_prod(fz, c2f, ws, sin_fw, cos_t)
+        return (1.0 + f) * (P * sd)
+
+    def body_bwd_tail_new(P, wn, pos):
+        ws = jnp.broadcast_to(wn[:, :, None], P.shape)
+        c = 0.3 * P + ws
+        f = 0.7 + 0.001 * jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, S), 2).astype(jnp.float32)
+        g1 = 1.0 + f
+        sin_fw, cos_fw, sin_t, cos_t = _trig_prod(ws, c, f)
+        fz, c2f, inv2f, inv_pf = _fc_prod(f)
+        sd = _sd_prod(fz, c2f, ws, sin_fw, cos_t)
+        dp = g1 * sd
+        dc = g1 * P * (-4.0) * sin_fw * sin_t
+        phi_f = inv2f * (ws * cos_fw * cos_t
+                         - inv_pf * sin_fw * cos_t
+                         - (2.0 * c - ws) * sin_fw * sin_t)
+        return dp + dc + P * sd + P * phi_f
+
     def body_round_only(P, wn, pos):
         return P - jnp.round(P)
 
     def body_floor_only(P, wn, pos):
         return P - jnp.floor(P)
+
+    def body_cast_round_only(P, wn, pos):
+        """The PRODUCTION int-cast round (_round_wrap f32 path) isolated."""
+        half = jnp.where(P >= 0, 0.5, -0.5)
+        return P - (P + half).astype(jnp.int32).astype(jnp.float32)
+
+    def body_floor_wrap_only(P, wn, pos):
+        """Candidate cheaper wrap: u - floor(u + 0.5) (round-half-up)."""
+        return P - jnp.floor(P + 0.5)
 
     def body_sincos_poly_only(P, wn, pos):
         """Just the two poly sincos pairs of the trig (incl. their wraps)."""
@@ -291,7 +332,11 @@ def main():
               'bwd_tail_poly': (body_bwd_tail_poly, 60, 1),
               'magic_round_only': (body_magic_round_only, 3, 1),
               'fwd_tail_poly2': (body_fwd_tail_poly2, 25, 1),
-              'bwd_tail_poly2': (body_bwd_tail_poly2, 60, 1)}
+              'bwd_tail_poly2': (body_bwd_tail_poly2, 60, 1),
+              'fwd_tail_new': (body_fwd_tail_new, 20, 1),
+              'bwd_tail_new': (body_bwd_tail_new, 45, 1),
+              'cast_round_only': (body_cast_round_only, 5, 1),
+              'floor_wrap_only': (body_floor_wrap_only, 3, 1)}
     only = os.environ.get('FSW_PROBE_ONLY')
     if only:
         BODIES = {k: v for k, v in BODIES.items()
