@@ -84,15 +84,16 @@ def _rank_c(P, wn, pos):
 # The VPU's jnp.sin/cos/round are multi-op sequences: sin measures ~120
 # FMA-equivalents, round ~27.  Since we already range-reduce to one period,
 # both are replaceable by cheap exact-shape primitives:
-#   * round-to-nearest via int32 conversion: trunc(u + copysign(0.5, u))
-#     (select, add, fptosi, sitofp -- all single VPU ops; valid for
-#     |u| < 2^30, u here is O(freq)).  NOT the classic magic-constant
-#     trick (u + 1.5*2^23) - 1.5*2^23: XLA's algebraic simplifier folds
-#     that to u under jit (measured -- eager correct, jit returns u), so
-#     it silently breaks everywhere outside the Mosaic lowering.  Ties
-#     round half-away (vs jnp.round's half-even); immaterial here because
-#     a tie puts the wrapped argument at exactly +/-0.5 period where
-#     sin2pi is 0 from both directions.
+#   * round-to-nearest via floor(u + 0.5) (measured wrap ladder in
+#     _round_wrap's docstring: 1.43x the int-cast form, ~equal to bare
+#     floor).  NOT the classic magic-constant trick
+#     (u + 1.5*2^23) - 1.5*2^23: XLA's algebraic simplifier folds that to
+#     u under jit (measured -- eager correct, jit returns u), so it
+#     silently breaks everywhere outside the Mosaic lowering (and it
+#     measured no faster than the int round anyway).  Ties round half-up
+#     (vs jnp.round's half-even); immaterial here because a tie puts the
+#     wrapped argument at exactly +/-0.5 period where sin2pi is 0 from
+#     both directions.
 #   * sin(2*pi*u), u in [-0.5, 0.5]: fold to the quarter period with
 #     |.|/min/sign (near-free selects) + a degree-13 odd Taylor polynomial
 #     in Horner form (6 FMA + 2 mul; max abs err 1.95e-7 ~ 1.6 f32 ulp,
@@ -106,10 +107,20 @@ _SIN_COEF = tuple(
 
 
 def _round_wrap(u):
-    """u - round-to-nearest(u); f32 takes the 4-op int-conversion path."""
+    """u - round-to-nearest(u); the f32 path uses floor(u + 0.5).
+
+    Probe ladder for the wrap alone (probe_select_ceiling, 134M elements):
+    int-cast round (select/add/fptosi/sitofp) 1.23 ms; floor-based 0.86 ms
+    (1.43x); bare floor 0.74 ms; jnp.round and the magic-constant trick
+    both ~0.90 ms.  floor(u + 0.5) also drops the int32 |u| < 2^30
+    validity limit and, unlike the magic-constant form, survives XLA's
+    algebraic simplifier (floor is not algebraically removable), so the
+    same expression is correct under jit/interpret AND Mosaic.  Ties round
+    half-UP (vs the old half-away): immaterial, a tie puts the wrapped
+    argument at exactly -/+0.5 period where sin2pi is 0 from both sides.
+    """
     if u.dtype == jnp.float32:
-        half = jnp.where(u >= 0, 0.5, -0.5)
-        return u - (u + half).astype(jnp.int32).astype(jnp.float32)
+        return u - jnp.floor(u + 0.5)
     return u - jnp.round(u)
 
 

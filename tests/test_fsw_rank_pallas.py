@@ -391,11 +391,12 @@ def test_fuzz_rank_vs_sort(trial):
 # f32 fast trig (poly sin2pi + magic-constant round; probe_select_ceiling.py)
 
 def test_round_wrap_f32_matches_numpy_round():
-    """The int-conversion round is BIT-exact vs round-to-nearest off ties;
-    exact .5 ties round half-away (vs np.round's half-even), which the
-    trig path is insensitive to (sin2pi(+0.5) == sin2pi(-0.5) == 0).
-    Must hold under jit too: the classic magic-constant trick is folded
-    away by XLA's algebraic simplifier, which is why it is NOT used."""
+    """The floor-based round (u - floor(u + 0.5)) is BIT-exact vs
+    round-to-nearest off ties; exact .5 ties round half-up (vs np.round's
+    half-even), which the trig path is insensitive to (sin2pi(+0.5) ==
+    sin2pi(-0.5) == 0).  Must hold under jit too: the classic
+    magic-constant trick is folded away by XLA's algebraic simplifier,
+    which is why it is NOT used (it also measured no faster)."""
     from fsw_gnn_tpu.ops.fsw_rank_pallas import _round_wrap
     u = np.concatenate([
         np.linspace(-300.0, 300.0, 200003),
