@@ -47,11 +47,14 @@ def speed_of_light_step(mt, n_slices: int, n_nodes: int, d_in: int):
     MultiTable aggregation design (see BENCH.md 'Speed of light').
 
     Two ceilings, take the binding one:
-    - VPU: the fused rank kernel does ~(6B+25) ops per entry-slice fwd and
-      ~(6B+60) bwd: ONE B-step masked rank loop each way, quadrature +
-      trig.  (The conv path declares graph weights non-differentiated --
-      weights_grad=False -- so the backward's second, transposed-mask loop
-      for dwn/dpad is skipped; with it the bwd term would be 12B+60.)
+    - VPU: the fused rank kernel does ~(6B+20) ops per entry-slice fwd and
+      ~(6B+45) bwd: ONE B-step masked rank loop each way, quadrature +
+      trig.  The tail constants track the round-3 divide-free/shared-fold/
+      floor-wrap trig (probe_select_ceiling fwd/bwd_tail_new op models;
+      the round-2 tails were 25/60).  (The conv path declares graph
+      weights non-differentiated -- weights_grad=False -- so the
+      backward's second, transposed-mask loop for dwn/dpad is skipped;
+      with it the bwd term would be 12B+45.)
     - HBM: the fused-projection design gathers raw rows Z (T, D) and
       scatter-adds dZ (T, D) (D = d_in here), and streams P-sized arrays
       through kernel IO twice; model: 2 passes of (T, D) + 2 of (T, S).
@@ -63,7 +66,7 @@ def speed_of_light_step(mt, n_slices: int, n_nodes: int, d_in: int):
         ec = t.idx.shape[0] * t.idx.shape[1]
         B = t.idx.shape[1]
         entries += ec
-        ops += ec * n_slices * ((6 * B + 25) + (6 * B + 60))
+        ops += ec * n_slices * ((6 * B + 20) + (6 * B + 45))
     t_vpu = ops / VPU_OPS_PER_S
     t_hbm = (2 * entries * (d_in + n_slices)) * 4 / HBM_BYTES_PER_S
     return max(t_vpu, t_hbm), {'t_vpu_ms': t_vpu * 1e3,
