@@ -79,7 +79,28 @@ def main():
             c = c + P * wj
         return c
 
-    from fsw_gnn_tpu.ops.fsw_rank_pallas import _trig, TWO_PI
+    from fsw_gnn_tpu.ops.fsw_rank_pallas import TWO_PI
+
+    def _trig_r2(ws, c, f):
+        """FROZEN round-2 production trig (jnp.sin/cos + jnp.round range
+        reduction, per-element sinc divide).  The live _trig has since
+        changed shape AND return convention (now (sin_fw, cos_fw, sin_t,
+        cos_t), no sinc) -- importing it here would silently time garbled
+        math, so the old baseline is pinned locally, like _trig_poly /
+        _trig_poly_magic below.  Returns (sinc_t, cos_t, sin_t, cos_fw)."""
+        u_cos = 0.5 * f * (2.0 * c - ws)
+        u_cos = u_cos - jnp.round(u_cos)
+        ang = TWO_PI * u_cos
+        sin_t, cos_t = jnp.sin(ang), jnp.cos(ang)
+        x = f * ws
+        u_sin = 0.5 * x
+        u_sin = u_sin - jnp.round(u_sin)
+        ang2 = TWO_PI * u_sin
+        sin_fw, cos_fw = jnp.sin(ang2), jnp.cos(ang2)
+        safe = jnp.where(x == 0.0, jnp.ones_like(x), x)
+        sinc_t = jnp.where(x == 0.0, jnp.ones_like(x),
+                           sin_fw / (jnp.pi * safe))
+        return sinc_t, cos_t, sin_t, cos_fw
 
     def body_fwd_tail(P, wn, pos):
         """The forward's non-loop math: trig + quadrature (uses a fake c of
@@ -90,7 +111,7 @@ def main():
         # verification ('result must be vector of integer values')
         f = 0.7 + 0.001 * jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, S), 2).astype(jnp.float32)
-        sinc_t, cos_t, _, _ = _trig(ws, c, f)
+        sinc_t, cos_t, _, _ = _trig_r2(ws, c, f)
         return (1.0 + f) * (P * (2.0 * ws * sinc_t * cos_t))
 
     def body_bwd_tail(P, wn, pos):
@@ -102,7 +123,7 @@ def main():
         f = 0.7 + 0.001 * jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, S), 2).astype(jnp.float32)
         g1 = 1.0 + f
-        sinc_t, cos_t, sin_t, cos_fw = _trig(ws, c, f)
+        sinc_t, cos_t, sin_t, cos_fw = _trig_r2(ws, c, f)
         sd = 2.0 * ws * sinc_t * cos_t
         dp = g1 * sd
         dc = g1 * P * (-2.0 * TWO_PI) * f * ws * sinc_t * sin_t

@@ -150,8 +150,14 @@ def _sincos2pi(u):
     directly).  This drops the cos path's extra _round_wrap -- including
     its int32 round-trip -- and the min/sign fold of the old
     double-_sin2pi_poly formulation; exact zeros at u in {0, +/-1/2} (sin)
-    and +/-1/4 (cos) are preserved by construction (t is exactly 0 there),
-    which keeps the small-f relative accuracy of sd = (2/(pi f)) sin_fw.
+    and +/-1/4 (cos) are preserved by construction (t is exactly 0 there).
+    Accuracy caveat: the shared fold t = 1/4 - ||u| - 1/4| quantizes tiny
+    arguments to ulp(0.25) (|u| below ~2^-27 is absorbed entirely), so
+    sin's RELATIVE accuracy holds only down to |u| ~ 1e-7; below that the
+    error is absolute, ~ulp(0.25)*2pi ~ 5e-8 (the old min(a, 0.5-a) fold
+    was exactly relative there).  Immaterial for normalized edge weights
+    and for sd = (2/(pi f)) sin_fw at production f ranges; exact zeros
+    still map to exact zeros.
     Either half is independently dead-code-eliminable when a kernel only
     consumes one of the pair."""
     if u.dtype == jnp.float32:

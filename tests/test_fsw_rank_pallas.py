@@ -388,7 +388,7 @@ def test_fuzz_rank_vs_sort(trial):
 
 
 # ---------------------------------------------------------------------------
-# f32 fast trig (poly sin2pi + magic-constant round; probe_select_ceiling.py)
+# f32 fast trig (poly sin2pi + floor-based wrap; probe_select_ceiling.py)
 
 def test_round_wrap_f32_matches_numpy_round():
     """The floor-based round (u - floor(u + 0.5)) is BIT-exact vs
@@ -451,7 +451,7 @@ def test_sincos2pi_f32_shared_fold():
 
 @pytest.mark.parametrize('ties', [False, True])
 def test_f32_fast_trig_kernel_parity(ties):
-    """The f32 kernel (which routes _trig through the poly+magic path)
+    """The f32 kernel (which routes _trig through the poly + floor-wrap path)
     matches the f64 exact kernel at f32 accuracy, forward and gradients.
     This is the production path: on TPU every rank kernel runs f32."""
     rng = np.random.default_rng(11)
