@@ -51,11 +51,11 @@ class FSWGNN(nn.Module):
         features stay local and each layer's sender PROJECTIONS are
         exchanged slice-chunk by slice-chunk inside the embedding, so ICI
         transfers run behind the aggregation (parallel/overlap.py).
-        Requires a (Multi)Table graph layout and edgefeat_dim == 0."""
+        Requires a (Multi)Table graph layout; edge features compose (their
+        projections are shard-local, only sender projections ride the
+        collective)."""
         if proj_gather_fn is not None:
             assert gather_fn is None, 'pass gather_fn OR proj_gather_fn'
-            assert self.edgefeat_dim == 0, (
-                'the overlap exchange does not support edge features')
         gather = gather_fn if gather_fn is not None else (lambda x: x)
         x_local = vertex_features
         for i, d_out in enumerate(self.hidden_dims):

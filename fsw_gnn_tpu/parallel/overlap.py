@@ -23,10 +23,11 @@ when aggregation intensity (B-step rank reduction, ~6*B flops/entry/slice)
 exceeds ICI stream rate -- true for B >= ~16 on v5e ICI.
 
 Production entry: `fsw_embed_local_overlap` (NeighborTable + MultiTable,
-finalization, degree encoding), reached end-to-end via
-`make_distributed_train_step(..., exchange='overlap')` /
+finalization, degree encoding, edge features, cartesian mode), reached
+end-to-end via `make_distributed_train_step(..., exchange='overlap')` /
 `FSWGNN(..., proj_gather_fn=...)` / `TrainConfig(exchange='overlap')`.
-Scope: non-cartesian, no edge features.  `pipelined_table_embed` below is
+Edge projections are shard-local (recipient-owned edges); only sender
+projections ride the collective.  `pipelined_table_embed` below is
 the original raw-array prototype, kept for the shard_map-level test.
 Verified against the single-device table path and the all_gather exchange
 on the virtual mesh (tests/test_overlap.py).
@@ -72,14 +73,19 @@ def fsw_embed_local_overlap(X_local: jax.Array,
     proj_gather_fn: (R_shard, chunk) -> (N_padded_global, chunk), e.g.
     `lambda x: jax.lax.all_gather(x, axis, tiled=True)`.
 
-    Scope: non-cartesian, no edge features (the reference's batched
-    edge-feature path needs raw per-edge rows, which the projection
-    exchange cannot carry).  Under aggregate='auto' the shared lane-waste
+    Edge features (cfg.d_edge > 0) compose with the chunked exchange for
+    free: edges are RECIPIENT-owned under the edge partitioning, so each
+    shard's `table.edge_feat` is local and its projection
+    `edge_feat @ proj[:, d_in:].T` never rides the collective -- only the
+    sender projections do (the reference's per-edge path,
+    /root/reference/fsw_embedding.py:922-968, gathers sender + edge
+    projections the same additive way).  Cartesian mode likewise rides
+    the same slice-axis chunking (each chunk's quadrature is (R, chunk,
+    F); frequencies are broadcast per slice exactly as in
+    fsw_embed_table).  Under aggregate='auto' the shared lane-waste
     rule (embedding._resolve_aggregate with s_eff=chunk) decides per chunk
     width whether the rank kernel's 128-lane padding still pays off.
     """
-    assert not cfg.cartesian_mode, 'overlap path is non-cartesian only'
-    assert cfg.d_edge == 0, 'overlap path does not support edge features'
     dt = X_local.dtype
     S = cfg.nSlices
     n_chunks = max(1, min(n_chunks, S))
@@ -89,7 +95,18 @@ def fsw_embed_local_overlap(X_local: jax.Array,
 
     Xp_local = X_local @ proj[:, :cfg.d_in].T                  # (R_shard, S)
     Xp_local = jnp.pad(Xp_local, ((0, 0), (0, S_pad - S)))
-    f_pad = jnp.pad(freqs, (0, S_pad - S))
+    if cfg.cartesian_mode:
+        slice_freqs = jnp.broadcast_to(freqs, (S,) + freqs.shape)  # (S, F)
+    else:
+        slice_freqs = freqs
+    f_pad = jnp.pad(slice_freqs, ((0, S_pad - S),) +
+                    ((0, 0),) * (slice_freqs.ndim - 1))
+    V_edge = None
+    if cfg.d_edge > 0:
+        # shard-local edge projections: pad the slice axis to the chunk
+        # grid (pad rows are zero vectors -> zero contribution, cut at
+        # [:, :S] anyway)
+        V_edge = jnp.pad(proj[:, cfg.d_in:], ((0, S_pad - S), (0, 0)))
 
     # issue every chunk's exchange up front (unrolled, NOT lax.map: a
     # sequential map would serialize the collectives behind the compute)
@@ -114,6 +131,12 @@ def fsw_embed_local_overlap(X_local: jax.Array,
         for k in range(n_chunks):
             Pk = jnp.take(gathered[k], t.idx.reshape(-1), axis=0)
             Pk = Pk.reshape(t.idx.shape + (chunk,))            # (R, B, chunk)
+            if cfg.d_edge > 0:
+                assert t.edge_feat is not None, (
+                    'cfg.d_edge > 0 but the graph shard has no edge '
+                    'features')
+                Pk = Pk + (t.edge_feat.astype(Pk.dtype)
+                           @ V_edge[k * chunk:(k + 1) * chunk].T)
             cols.append(bucket_quadrature(
                 Pk, wn, pad_norm, f_pad[k * chunk:(k + 1) * chunk], cfg,
                 agg, weights_grad))
@@ -124,7 +147,9 @@ def fsw_embed_local_overlap(X_local: jax.Array,
         return _finalize(raws[0].astype(dt), wsums[0].astype(dt), cfg,
                          bias, total_mass_scale)
     R = graph.num_recipients
-    emb = jnp.zeros((R + 1, S), dt)
+    tail = ((cfg.nSlices, cfg.nFreqs) if cfg.cartesian_mode
+            else (cfg.nSlices,))
+    emb = jnp.zeros((R + 1,) + tail, dt)
     w_sum = jnp.zeros((R + 1,), dt)
     for ids, raw, ws in zip(graph.row_ids, raws, wsums):
         emb = emb.at[ids].set(raw.astype(dt))

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .graph import Graph, MultiTable, NeighborTable, from_edge_index
+from .utils.cache import CountingJit
 
 
 def export_forward(model, variables, X_spec, graph, *,
@@ -145,7 +146,7 @@ class GraphServer:
         self.max_edges = int(max_edges)
         self.d_edge = int(d_edge)
         self.dtype = dtype
-        self._fwd = jax.jit(
+        self._fwd = CountingJit(
             lambda variables, X, g: model.apply(variables, X, g))
         assert (classes is None) == (class_rows is None), (
             'pass classes and class_rows together (see multi_envelope)')
@@ -154,7 +155,7 @@ class GraphServer:
         self.fallbacks = 0          # requests that overflowed the envelope
         if self.classes is not None:
             assert len(self.classes) == len(self.class_rows)
-            self._fwd_multi = jax.jit(
+            self._fwd_multi = CountingJit(
                 lambda variables, X, mt: model.apply(variables, X, mt))
 
     def _pad_graph(self, edge_index, edge_features=None) -> Graph:
@@ -211,9 +212,11 @@ class GraphServer:
         return np.asarray(out[:N])
 
     def num_compiles(self) -> int:
-        """Compiled-executable count per path (1 after any number of
-        requests that stay on that path)."""
-        n = int(self._fwd._cache_size())
+        """Total real XLA compiles across both paths (1 after any number
+        of requests that stay on one path).  Monotone by construction:
+        each server-owned CountingJit counts its own lower().compile()
+        calls instead of introspecting the clearable global jit cache."""
+        n = self._fwd.num_compiles
         if self.classes is not None:
-            n += int(self._fwd_multi._cache_size())
+            n += self._fwd_multi.num_compiles
         return n

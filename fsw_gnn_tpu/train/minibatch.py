@@ -71,7 +71,6 @@ class MinibatchTrainer(Trainer):
                 fixed_collections=self.fixed)
 
     def _make_minibatch_step(self):
-        import functools
         model, opt, fixed = self.model, self.opt, self.fixed
 
         def loss_fn(params, bstats, Xb, graph, labels, mask, rng):
@@ -81,7 +80,6 @@ class MinibatchTrainer(Trainer):
             s, c = masked_softmax_cross_entropy(logits, labels, mask)
             return s / jnp.maximum(c, 1.0), mutated
 
-        @functools.partial(jax.jit, donate_argnums=(0, 2))
         def step(params, bstats, opt_state, Xb, graph, labels, mask, rng):
             (loss, mutated), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, bstats, Xb, graph, labels,
@@ -90,7 +88,12 @@ class MinibatchTrainer(Trainer):
             params = optax.apply_updates(params, updates)
             return params, mutated, opt_state, loss
 
-        return step
+        # CountingJit (not bare jax.jit): `num_compiles` is the
+        # deterministic "every batch shares one executable" observable --
+        # the static padded shapes guarantee is load-bearing for the
+        # 2-7 min/compile TPU tunnel, so it is asserted in tests
+        from ..utils.cache import CountingJit
+        return CountingJit(step, donate_argnums=(0, 2))
 
     def _build_batch(self, seeds: np.ndarray):
         batch = self.sampler.sample(seeds, labels=self.data.labels,

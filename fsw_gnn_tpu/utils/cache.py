@@ -15,6 +15,50 @@ from __future__ import annotations
 import os
 
 
+class CountingJit:
+    """jit wrapper with a DETERMINISTIC, monotone compile counter.
+
+    `jax.jit(fn)._cache_size()` introspects the GLOBAL pjit cache, which
+    any other code in the process can clear (`jax.clear_caches()`, cache
+    eviction) -- under pytest-xdist process sharing it was observed to
+    read 0 after successful jitted calls, making the "am I recompiling
+    per request/batch?" observable unreliable.  This wrapper owns its
+    cache: each distinct (treedef, shapes/dtypes) key is lowered +
+    compiled exactly once via `jit(fn, **jit_kwargs).lower(*args)
+    .compile()` and the executable is kept here, so `num_compiles`
+    counts real XLA compiles and only ever increments (on a key miss).
+
+    jit kwargs (e.g. donate_argnums) are forwarded; donation semantics
+    are preserved by the compiled executable.
+    """
+
+    def __init__(self, fn, **jit_kwargs):
+        self._fn = fn
+        self._jit_kwargs = jit_kwargs
+        self._cache = {}
+        self.num_compiles = 0       # monotone; += 1 per real compile
+
+    @staticmethod
+    def _key(args):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        return treedef, tuple(
+            (np.shape(leaf), jnp.result_type(leaf).name) for leaf in leaves)
+
+    def __call__(self, *args):
+        import jax
+        key = self._key(args)
+        exe = self._cache.get(key)
+        if exe is None:
+            exe = jax.jit(self._fn,
+                          **self._jit_kwargs).lower(*args).compile()
+            self._cache[key] = exe
+            self.num_compiles += 1
+        return exe(*args)
+
+
 def enable_compilation_cache(path: str = '~/.cache/fsw_gnn_tpu_xla',
                              min_compile_time_secs: float = 1.0) -> str:
     """Enable JAX's persistent compilation cache at `path` (created if

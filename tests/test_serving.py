@@ -102,8 +102,8 @@ def test_graph_server_multi_fast_path():
         np.testing.assert_allclose(srv.predict(ei, X), ref.predict(ei, X),
                                    rtol=5e-5, atol=1e-5)
     assert srv.fallbacks == 0
-    assert srv._fwd_multi._cache_size() == 1    # fast path, one compile
-    assert srv._fwd._cache_size() == 0          # CSR never ran
+    assert srv._fwd_multi.num_compiles == 1     # fast path, one compile
+    assert srv._fwd.num_compiles == 0           # CSR never ran
 
     # a request whose max degree exceeds the envelope falls back to CSR
     star_n = 50
