@@ -333,6 +333,7 @@ def fsw_embed_multiset(X: jax.Array,
     """
     n = X.shape[-2]
     dt = X.dtype
+    unif = W is None           # synthesized weights are row-constant
     if W is None:
         W = jnp.ones(X.shape[:-1], dt) if w_mode == 'unit' else \
             jnp.full(X.shape[:-1], 1.0 / n, dt)
@@ -359,7 +360,7 @@ def fsw_embed_multiset(X: jax.Array,
                 fb = jnp.broadcast_to(fb, (Xp.shape[-1],) + fb.shape)
             out = bucket_quadrature(
                 P, wn.reshape(-1, n), pad_norm.reshape(-1), fb,
-                cfg, 'rank', weights_grad)
+                cfg, 'rank', weights_grad, uniform_w=unif)
             return out.reshape(lead + out.shape[1:])   # (..., Sb[, F])
         keys = jnp.moveaxis(Xp, -2, -1)                            # (..., Sb, n)
         ps, ws = sort_pairs_fused(
@@ -545,7 +546,8 @@ def fsw_embed_graph_batched(X: jax.Array,
 
 def bucket_quadrature(P: jax.Array, wn: jax.Array, pad_norm: jax.Array,
                       f_block: jax.Array, cfg: FSWConfig, agg: str,
-                      weights_grad: bool = True) -> jax.Array:
+                      weights_grad: bool = True,
+                      uniform_w: bool = False) -> jax.Array:
     """Per-neighborhood FSW aggregation on pre-gathered projections.
 
     P (R, B, S_blk): per-entry projections of one neighbor-table class;
@@ -555,6 +557,10 @@ def bucket_quadrature(P: jax.Array, wn: jax.Array, pad_norm: jax.Array,
     only) or 'sort' (XLA bitonic + cumsum).  Returns (R, S_blk) (or
     (R, S_blk, F)).  Shared by the single-device table path and the
     distributed slice-chunked overlap path (parallel/overlap.py).
+    `uniform_w` declares row-constant weights (NeighborTable.uniform_w):
+    the non-cartesian rank kernel then computes its sin/cos(pi f w) chain
+    once per row (bit-identical results; no-op on the sort/cartesian
+    paths).
     """
     if agg == 'rank':
         # fused Pallas kernel: weighted ranks replace sort+cumsum, the
@@ -564,12 +570,14 @@ def bucket_quadrature(P: jax.Array, wn: jax.Array, pad_norm: jax.Array,
         from .ops.fsw_rank_pallas import (fsw_rank_aggregate,
                                           fsw_rank_aggregate_cart)
         f32 = jnp.float32
-        krn = (fsw_rank_aggregate_cart if cfg.cartesian_mode
-               else fsw_rank_aggregate)
-        out = krn(
-            P.astype(f32), wn.astype(f32), pad_norm.astype(f32),
-            f_block.astype(f32), None,
-            jax.default_backend() == 'cpu', weights_grad)
+        cpu = jax.default_backend() == 'cpu'
+        a32 = (P.astype(f32), wn.astype(f32), pad_norm.astype(f32),
+               f_block.astype(f32))
+        if cfg.cartesian_mode:
+            out = fsw_rank_aggregate_cart(*a32, None, cpu, weights_grad)
+        else:
+            out = fsw_rank_aggregate(*a32, None, cpu, weights_grad,
+                                     uniform_w)
         return out.astype(P.dtype)                        # (R, S[, F])
 
     # sort neighborhoods along the bucket axis per slice
@@ -643,6 +651,8 @@ def fsw_embed_table(X: jax.Array,
                 [Xr, table.edge_feat.astype(Xr.dtype)], axis=-1)
         Z32 = Xr.astype(f32)
 
+    unif = bool(getattr(table, 'uniform_w', False))
+
     def slices_block(proj_block, f_block):
         """proj_block: (S_blk, d_in+d_edge) slice vectors; f_block freqs."""
         if use_proj:
@@ -651,7 +661,7 @@ def fsw_embed_table(X: jax.Array,
                 Z32, wn.astype(jnp.float32), pad_norm.astype(jnp.float32),
                 f_block.astype(jnp.float32),
                 proj_block.T.astype(jnp.float32), None,
-                jax.default_backend() == 'cpu', weights_grad)
+                jax.default_backend() == 'cpu', weights_grad, unif)
             return out.astype(dt)                                  # (R, S)
 
         Xp = X @ proj_block[:, :cfg.d_in].T                        # (N, S_blk)
@@ -662,7 +672,7 @@ def fsw_embed_table(X: jax.Array,
             P = P + table.edge_feat @ proj_block[:, cfg.d_in:].T
 
         return bucket_quadrature(P, wn, pad_norm, f_block, cfg, agg,
-                                 weights_grad)
+                                 weights_grad, uniform_w=unif)
 
     S = cfg.nSlices
     if cfg.cartesian_mode:

@@ -194,6 +194,12 @@ class NeighborTable:
     num_nodes: int = struct.field(pytree_node=False, default=0)
     num_recipients: int = struct.field(pytree_node=False, default=0)
     num_edges: int = struct.field(pytree_node=False, default=0)
+    # True iff every REAL (nonzero-weight) entry of a row carries the same
+    # positive weight (unit adjacency, weight-1 self-loops): the rank
+    # kernel then computes the sin/cos(pi f w) chain once per ROW instead
+    # of per entry (uniform_w fast path, ops/fsw_rank_pallas._trig).
+    # Detected host-side at table build; False is always safe.
+    uniform_w: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def bucket_size(self) -> int:
@@ -202,6 +208,19 @@ class NeighborTable:
     @property
     def d_edge(self) -> int:
         return 0 if self.edge_feat is None else self.edge_feat.shape[-1]
+
+
+def _detect_uniform_w(wt: np.ndarray) -> bool:
+    """True iff every nonzero entry of each row equals that row's MAX
+    weight (all positive row-constant weights; padding is exactly 0).
+    Conservative: negative or mixed weights detect False, which only
+    forfeits the fast path -- never correctness.  The kernel recovers the
+    row constant as max_j wn[:, j], which is why positivity is part of
+    the predicate."""
+    if wt.size == 0:
+        return True
+    row_max = wt.max(axis=1, keepdims=True)
+    return bool(np.all((wt == 0) | (wt == row_max)) and row_max.min() >= 0)
 
 
 def to_neighbor_table(graph: Graph, bucket_size: Optional[int] = None,
@@ -240,7 +259,8 @@ def to_neighbor_table(graph: Graph, bucket_size: Optional[int] = None,
         idx=jnp.asarray(idx), weight=jnp.asarray(wt),
         in_degrees=graph.in_degrees,
         edge_feat=None if eft is None else jnp.asarray(eft),
-        num_nodes=graph.num_nodes, num_recipients=R, num_edges=E_real)
+        num_nodes=graph.num_nodes, num_recipients=R, num_edges=E_real,
+        uniform_w=_detect_uniform_w(wt))
 
 
 @struct.dataclass
@@ -352,7 +372,8 @@ def to_multi_table(graph: Graph, min_bucket: int = 8,
             in_degrees=jnp.asarray(np.zeros(Rc, w.dtype)),
             edge_feat=None if eft is None else jnp.asarray(eft),
             num_nodes=graph.num_nodes, num_recipients=Rc,
-            num_edges=int(deg[rows].sum())))
+            num_edges=int(deg[rows].sum()),
+            uniform_w=_detect_uniform_w(wt)))
         row_ids.append(jnp.asarray(ids, jnp.int32))
 
     return MultiTable(tables=tuple(tables), row_ids=tuple(row_ids),

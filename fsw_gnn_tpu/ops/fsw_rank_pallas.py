@@ -194,6 +194,44 @@ def _trig(ws, c, f):
     return sin_fw, cos_fw, sin_t, cos_t
 
 
+def _trig_unif(ws, wn, c, f):
+    """_trig specialized to ROW-CONSTANT weights (uniform_w fast path).
+
+    When every real entry of a row carries the same weight (unit
+    adjacency, weight-1 self-loops -- graph._detect_uniform_w), the whole
+    u_sin chain (wrap + shared-fold sincos, ~20 VPU ops/element) collapses
+    to one evaluation per (row, slice) on a (TR, 1, S) operand -- its
+    per-element cost drops by the bucket factor B -- plus a 2-op
+    compare/select that restores the exact sin(pi f 0) = 0 at padded
+    entries (load-bearing: sd = c2f sin_fw cos_t must vanish there even
+    when the gathered projection is nonzero).  The row constant is
+    recovered in-kernel as max_j wn (padding is 0; positivity is part of
+    the host-side predicate).
+
+    CAVEAT: cos_fw at PADDED entries is the row value, not cos(0) = 1 --
+    exact only where cos_fw is multiplied by ws (the phi_f df term) or
+    when weight cotangents are skipped, hence the bwd kernels only take
+    this path under with_dw=False.  Within that scope the per-element
+    math is identical to _trig (same input bits -> same poly bits; f64
+    outputs are bit-identical, f32 may drift 1-2 ulp because XLA fuses
+    the structurally different compiled graphs differently -- tested in
+    tests/test_fsw_rank_pallas.py::test_uniform_w_bit_identical).
+    """
+    u_cos = _round_wrap(0.5 * f * (2.0 * c - ws))
+    sin_t, cos_t = _sincos2pi(u_cos)
+    wr = jnp.max(wn, axis=1, keepdims=True)[:, None, :]    # (TR, 1, 1)
+    u_sin = _round_wrap(0.5 * f * wr)                      # (TR, 1, S)
+    sin_r, cos_r = _sincos2pi(u_sin)
+    sin_fw = jnp.where(ws == 0.0, jnp.zeros_like(ws),
+                       jnp.broadcast_to(sin_r, ws.shape))
+    cos_fw = jnp.broadcast_to(cos_r, ws.shape)
+    return sin_fw, cos_fw, sin_t, cos_t
+
+
+def _trig_maybe_unif(uniform_w, ws, wn, c, f):
+    return _trig_unif(ws, wn, c, f) if uniform_w else _trig(ws, c, f)
+
+
 def _freq_consts(f):
     """Per-slice broadcast constants replacing the per-element sinc divide.
 
@@ -243,16 +281,16 @@ def _common(p_ref, wn_ref, pad_ref, freq_ref):
     return P, wn, ws, c, f, pos
 
 
-def _fwd_kernel(p_ref, wn_ref, pad_ref, freq_ref, out_ref):
+def _fwd_kernel(uniform_w, p_ref, wn_ref, pad_ref, freq_ref, out_ref):
     P, wn, ws, c, f, pos = _common(p_ref, wn_ref, pad_ref, freq_ref)
-    sin_fw, _, _, cos_t = _trig(ws, c, f)
+    sin_fw, _, _, cos_t = _trig_maybe_unif(uniform_w, ws, wn, c, f)
     fz, c2f, _, _ = _freq_consts(f)
     sd = _sd(fz, c2f, ws, sin_fw, cos_t)
     out_ref[:] = (1.0 + freq_ref[:]) * jnp.sum(P * sd, axis=1)
 
 
-def _bwd_kernel(with_dw, p_ref, wn_ref, pad_ref, freq_ref, g_ref,
-                *out_refs):
+def _bwd_kernel(with_dw, uniform_w, p_ref, wn_ref, pad_ref, freq_ref,
+                g_ref, *out_refs):
     if with_dw:
         dp_ref, dwn_ref, dpad_ref, df_ref = out_refs
     else:
@@ -263,7 +301,10 @@ def _bwd_kernel(with_dw, p_ref, wn_ref, pad_ref, freq_ref, g_ref,
     P, wn, ws, c, f, pos = _common(p_ref, wn_ref, pad_ref, freq_ref)
     g = g_ref[:]
     freq = freq_ref[:]
-    sin_fw, cos_fw, sin_t, cos_t = _trig(ws, c, f)
+    # uniform_w only without dw: the fast cos_fw is the row value at
+    # padded entries, wrong for their dwn term (see _trig_unif)
+    sin_fw, cos_fw, sin_t, cos_t = _trig_maybe_unif(
+        uniform_w and not with_dw, ws, wn, c, f)
     fz, c2f, inv2f, inv_pf = _freq_consts(f)
     sd = _sd(fz, c2f, ws, sin_fw, cos_t)             # phi
 
@@ -384,11 +425,12 @@ def _pick_tile_bwd(B, S_pad):
     return tr
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def fsw_rank_aggregate(P, wn, pad_norm, freqs,
                        tile_r: int | None = None,
                        interpret: bool = False,
-                       with_dw: bool = True):
+                       with_dw: bool = True,
+                       uniform_w: bool = False):
     """Fused FSW aggregation over a dense neighbor-table class.
 
     P (R, B, S): per-entry projections (gathered sender rows + optional edge
@@ -401,9 +443,13 @@ def fsw_rank_aggregate(P, wn, pad_norm, freqs,
     with_dw=False returns ZERO cotangents for wn and pad_norm and skips
     their (transposed-mask-loop) computation -- use only when the weights
     are non-differentiated data, e.g. a GNN adjacency built from
-    edge_index.
+    edge_index.  uniform_w=True declares every real entry of a row to
+    carry the same positive weight (graph.NeighborTable.uniform_w): the
+    sin/cos(pi f w) chain then runs once per row instead of per entry
+    (_trig_unif; same per-element math, f64 bit-identical / f32 within
+    1-2 ulp; the bwd applies it only when with_dw=False).
     """
-    return _fwd_call(P, wn, pad_norm, freqs, tile_r, interpret)
+    return _fwd_call(P, wn, pad_norm, freqs, tile_r, interpret, uniform_w)
 
 
 def _block_specs(tr, B_pad, S_pad):
@@ -424,7 +470,8 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit())
 
 
-def _fwd_call(P, wn, pad_norm, freqs, tile_r, interpret):
+def _fwd_call(P, wn, pad_norm, freqs, tile_r, interpret,
+              uniform_w=False):
     R, B, S = P.shape
     S_pad = -(-S // 128) * 128
     tr = tile_r or _pick_tile_r(B, S_pad)
@@ -432,7 +479,7 @@ def _fwd_call(P, wn, pad_norm, freqs, tile_r, interpret):
     Pp, wnp, padp, freqp = _pad_args(P, wn, pad_norm, freqs, tr)
     R_pad, B_pad, S_pad = Pp.shape
     out = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, uniform_w),
         grid=(R_pad // tr,),
         in_specs=_block_specs(tr, B_pad, S_pad),
         out_specs=pl.BlockSpec((tr, S_pad), lambda i: (i, 0),
@@ -444,12 +491,13 @@ def _fwd_call(P, wn, pad_norm, freqs, tile_r, interpret):
     return out[:R, :S]
 
 
-def _fsw_fwd(P, wn, pad_norm, freqs, tile_r, interpret, with_dw):
-    out = _fwd_call(P, wn, pad_norm, freqs, tile_r, interpret)
+def _fsw_fwd(P, wn, pad_norm, freqs, tile_r, interpret, with_dw,
+             uniform_w):
+    out = _fwd_call(P, wn, pad_norm, freqs, tile_r, interpret, uniform_w)
     return out, (P, wn, pad_norm, freqs)
 
 
-def _fsw_bwd(tile_r, interpret, with_dw, res, g):
+def _fsw_bwd(tile_r, interpret, with_dw, uniform_w, res, g):
     P, wn, pad_norm, freqs = res
     R, B, S = P.shape
     S_pad = -(-S // 128) * 128
@@ -477,7 +525,7 @@ def _fsw_bwd(tile_r, interpret, with_dw, res, g):
     dwn_shape = jax.ShapeDtypeStruct((R_pad, B_pad), P.dtype)
     dpad_shape = jax.ShapeDtypeStruct((R_pad, 1), P.dtype)
     df_shape = jax.ShapeDtypeStruct((1, S_pad), P.dtype)
-    kern = functools.partial(_bwd_kernel, with_dw)
+    kern = functools.partial(_bwd_kernel, with_dw, uniform_w)
     if with_dw:
         dp, dwn, dpad, df = pl.pallas_call(
             kern,
@@ -528,7 +576,8 @@ def _project(z_ref, v_ref):
         preferred_element_type=Z.dtype)
 
 
-def _fwdp_kernel(z_ref, wn_ref, pad_ref, freq_ref, v_ref, out_ref):
+def _fwdp_kernel(uniform_w, z_ref, wn_ref, pad_ref, freq_ref, v_ref,
+                 out_ref):
     P = _project(z_ref, v_ref)                       # (TR, B, S) via MXU
     wn = wn_ref[:]
     TR, B, S = P.shape
@@ -538,14 +587,14 @@ def _fwdp_kernel(z_ref, wn_ref, pad_ref, freq_ref, v_ref, out_ref):
     c = c + jnp.where(P > 0, pad_b, jnp.zeros_like(c))
     ws = jnp.broadcast_to(wn[:, :, None], (TR, B, S))
     f = freq_ref[:][None, :, :]
-    sin_fw, _, _, cos_t = _trig(ws, c, f)
+    sin_fw, _, _, cos_t = _trig_maybe_unif(uniform_w, ws, wn, c, f)
     fz, c2f, _, _ = _freq_consts(f)
     sd = _sd(fz, c2f, ws, sin_fw, cos_t)
     out_ref[:] = (1.0 + freq_ref[:]) * jnp.sum(P * sd, axis=1)
 
 
-def _bwdp_kernel(with_dw, z_ref, wn_ref, pad_ref, freq_ref, v_ref, g_ref,
-                 *out_refs):
+def _bwdp_kernel(with_dw, uniform_w, z_ref, wn_ref, pad_ref, freq_ref,
+                 v_ref, g_ref, *out_refs):
     if with_dw:
         dz_ref, dwn_ref, dpad_ref, df_ref, dv_ref = out_refs
     else:
@@ -564,7 +613,9 @@ def _bwdp_kernel(with_dw, z_ref, wn_ref, pad_ref, freq_ref, v_ref, g_ref,
     f = freq_ref[:][None, :, :]
     g = g_ref[:]
     freq = freq_ref[:]
-    sin_fw, cos_fw, sin_t, cos_t = _trig(ws, c, f)
+    # uniform_w only without dw (see _trig_unif's cos_fw caveat)
+    sin_fw, cos_fw, sin_t, cos_t = _trig_maybe_unif(
+        uniform_w and not with_dw, ws, wn, c, f)
     fz, c2f, inv2f, inv_pf = _freq_consts(f)
     sd = _sd(fz, c2f, ws, sin_fw, cos_t)             # phi
 
@@ -655,11 +706,12 @@ def _proj_block_specs(tr, B_pad, D_pad, S_pad):
     ]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def fsw_rank_aggregate_proj(Z, wn, pad_norm, freqs, V,
                             tile_r: int | None = None,
                             interpret: bool = False,
-                            with_dw: bool = True):
+                            with_dw: bool = True,
+                            uniform_w: bool = False):
     """Fused FSW aggregation with in-kernel projection.
 
     Z (R, B, D): gathered sender feature rows (columns may include edge
@@ -671,13 +723,16 @@ def fsw_rank_aggregate_proj(Z, wn, pad_norm, freqs, V,
     instead of (T, S).
 
     Differentiable in Z, wn, pad_norm, freqs, V.  with_dw=False returns
-    ZERO cotangents for wn and pad_norm and skips their computation (see
+    ZERO cotangents for wn and pad_norm and skips their computation;
+    uniform_w=True enables the row-constant-weight trig fast path (see
     `fsw_rank_aggregate`).
     """
-    return _fwdp_call(Z, wn, pad_norm, freqs, V, tile_r, interpret)
+    return _fwdp_call(Z, wn, pad_norm, freqs, V, tile_r, interpret,
+                      uniform_w)
 
 
-def _fwdp_call(Z, wn, pad_norm, freqs, V, tile_r, interpret):
+def _fwdp_call(Z, wn, pad_norm, freqs, V, tile_r, interpret,
+               uniform_w=False):
     R, B, D = Z.shape
     S = V.shape[1]
     S_pad = -(-S // 128) * 128
@@ -688,7 +743,7 @@ def _fwdp_call(Z, wn, pad_norm, freqs, V, tile_r, interpret):
     R_pad, B_pad, D_pad = Zp.shape
     S_pad = Vp.shape[1]
     out = pl.pallas_call(
-        _fwdp_kernel,
+        functools.partial(_fwdp_kernel, uniform_w),
         grid=(R_pad // tr,),
         in_specs=_proj_block_specs(tr, B_pad, D_pad, S_pad),
         out_specs=pl.BlockSpec((tr, S_pad), lambda i: (i, 0),
@@ -700,12 +755,14 @@ def _fwdp_call(Z, wn, pad_norm, freqs, V, tile_r, interpret):
     return out[:R, :S]
 
 
-def _fswp_fwd(Z, wn, pad_norm, freqs, V, tile_r, interpret, with_dw):
-    out = _fwdp_call(Z, wn, pad_norm, freqs, V, tile_r, interpret)
+def _fswp_fwd(Z, wn, pad_norm, freqs, V, tile_r, interpret, with_dw,
+              uniform_w):
+    out = _fwdp_call(Z, wn, pad_norm, freqs, V, tile_r, interpret,
+                     uniform_w)
     return out, (Z, wn, pad_norm, freqs, V)
 
 
-def _fswp_bwd(tile_r, interpret, with_dw, res, g):
+def _fswp_bwd(tile_r, interpret, with_dw, uniform_w, res, g):
     Z, wn, pad_norm, freqs, V = res
     R, B, D = Z.shape
     S = V.shape[1]
@@ -737,7 +794,7 @@ def _fswp_bwd(tile_r, interpret, with_dw, res, g):
     dpad_shape = jax.ShapeDtypeStruct((R_pad, 1), pad_norm.dtype)
     df_shape = jax.ShapeDtypeStruct((1, S_pad), freqs.dtype)
     dv_shape = jax.ShapeDtypeStruct((D_pad, S_pad), V.dtype)
-    kern = functools.partial(_bwdp_kernel, with_dw)
+    kern = functools.partial(_bwdp_kernel, with_dw, uniform_w)
     if with_dw:
         dz, dwn, dpad, df, dv = pl.pallas_call(
             kern,

@@ -61,6 +61,8 @@ def _shard_specs(shards: GraphShards) -> GraphShards:
         tuple(P('graph') for _ in shards.mtbl_ef),
         a2a_mtbl_idx=None if shards.a2a_mtbl_idx is None else
         tuple(P('graph') for _ in shards.a2a_mtbl_idx),
+        mtbl_uniform=shards.mtbl_uniform,
+        tbl_uniform=shards.tbl_uniform,
         num_nodes=shards.num_nodes,
         num_recipients=shards.num_recipients,
         num_shards=shards.num_shards,
@@ -92,6 +94,9 @@ def _local_graph(shards: GraphShards, local: GraphShards,
         idx_stacks = local.a2a_mtbl_idx if a2a else local.mtbl_idx
         ef_stacks = (local.mtbl_ef if local.mtbl_ef is not None
                      else (None,) * len(idx_stacks))
+        unif = (shards.mtbl_uniform
+                if shards.mtbl_uniform is not None
+                else (False,) * len(idx_stacks))
         tables = tuple(
             NeighborTable(
                 idx=idx_c[0], weight=w_c[0],
@@ -99,8 +104,10 @@ def _local_graph(shards: GraphShards, local: GraphShards,
                 edge_feat=None if ef_c is None else ef_c[0],
                 num_nodes=n_senders,
                 num_recipients=idx_c.shape[1],
-                num_edges=idx_c.shape[1] * idx_c.shape[2])
-            for idx_c, w_c, ef_c in zip(idx_stacks, local.mtbl_w, ef_stacks))
+                num_edges=idx_c.shape[1] * idx_c.shape[2],
+                uniform_w=u_c)
+            for idx_c, w_c, ef_c, u_c in zip(idx_stacks, local.mtbl_w,
+                                             ef_stacks, unif))
         return MultiTable(
             tables=tables,
             row_ids=tuple(r[0] for r in local.mtbl_rows),
@@ -115,7 +122,8 @@ def _local_graph(shards: GraphShards, local: GraphShards,
             in_degrees=local.in_degrees[0],
             num_nodes=n_senders,
             num_recipients=shards.shard_num_recipients,
-            num_edges=local.src.shape[1])
+            num_edges=local.src.shape[1],
+            uniform_w=shards.tbl_uniform)
     ef = None if local.edge_feat is None else local.edge_feat[0]
     src = local.a2a_src[0] if a2a else local.src[0]
     # src_order/src_sorted are only valid for the padded-global ids; the

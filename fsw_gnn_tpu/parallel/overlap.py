@@ -139,7 +139,8 @@ def fsw_embed_local_overlap(X_local: jax.Array,
                            @ V_edge[k * chunk:(k + 1) * chunk].T)
             cols.append(bucket_quadrature(
                 Pk, wn, pad_norm, f_pad[k * chunk:(k + 1) * chunk], cfg,
-                agg, weights_grad))
+                agg, weights_grad,
+                uniform_w=bool(getattr(t, 'uniform_w', False))))
         raws.append(jnp.concatenate(cols, axis=1)[:, :S])
         wsums.append(w_sum)
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..graph import Graph
+from ..graph import Graph, _detect_uniform_w
 
 
 @struct.dataclass
@@ -67,6 +67,11 @@ class GraphShards:
     mtbl_rows: Optional[tuple] = None          # (P, R_c) local recipient ids
     mtbl_ef: Optional[tuple] = None            # (P, R_c, B_c, d_edge)
     a2a_mtbl_idx: Optional[tuple] = None
+    # static row-constant-weight flags (graph._detect_uniform_w, AND over
+    # shards): per degree class / for the single-bucket table layout
+    mtbl_uniform: Optional[tuple] = struct.field(pytree_node=False,
+                                                 default=None)
+    tbl_uniform: bool = struct.field(pytree_node=False, default=False)
     num_nodes: int = struct.field(pytree_node=False, default=0)
     num_recipients: int = struct.field(pytree_node=False, default=0)
     num_shards: int = struct.field(pytree_node=False, default=1)
@@ -200,7 +205,7 @@ def partition_graph(graph: Graph, num_shards: int,
     # degree-bucketed per-shard MultiTables with a GLOBAL class structure so
     # the per-class stacks share shapes across shards (edge features ride
     # along as (R_c, B_c, d_edge) table entries)
-    mtbl_idx = mtbl_w = mtbl_rows = mtbl_ef = None
+    mtbl_idx = mtbl_w = mtbl_rows = mtbl_ef = mtbl_uniform = None
     if layout in ('auto', 'multi'):
         from ..graph import to_multi_table as _tmt
         local_graphs = []
@@ -236,6 +241,9 @@ def partition_graph(graph: Graph, num_shards: int,
                       for ci in range(len(classes))]
         mts = [_tmt(lg, classes=classes, class_rows=class_rows)
                for lg in local_graphs]
+        mtbl_uniform = tuple(
+            all(mt.tables[ci].uniform_w for mt in mts)
+            for ci in range(len(classes)))
         mtbl_idx = tuple(
             jnp.asarray(np.stack([np.asarray(mt.tables[ci].idx)
                                   for mt in mts]))
@@ -307,6 +315,10 @@ def partition_graph(graph: Graph, num_shards: int,
         a2a_rows=int(L),
         mtbl_idx=mtbl_idx, mtbl_w=mtbl_w, mtbl_rows=mtbl_rows,
         mtbl_ef=mtbl_ef, a2a_mtbl_idx=a2a_mtbl,
+        mtbl_uniform=mtbl_uniform,
+        tbl_uniform=(tbl_w is not None
+                     and _detect_uniform_w(tbl_w.reshape(-1,
+                                                         tbl_w.shape[-1]))),
         num_nodes=graph.num_nodes, num_recipients=R, num_shards=P,
         shard_num_recipients=R_shard)
 

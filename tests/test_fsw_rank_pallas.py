@@ -388,6 +388,125 @@ def test_fuzz_rank_vs_sort(trial):
 
 
 # ---------------------------------------------------------------------------
+# uniform_w (row-constant weights) fast path: must be BIT-identical
+
+
+def _rand_args_uniform(rng, R, B, S, dtype=np.float64):
+    """Unit-adjacency-style args: every real entry of a row has weight 1
+    (normalized to the shared 1/deg), padding exactly 0."""
+    P = rng.standard_normal((R, B, S))
+    w = (rng.random((R, B)) < 0.8).astype(np.float64)
+    w[:, 0] = 1.0                        # at least one real entry per row
+    w_sum = w.sum(1)
+    wsp = np.maximum(w_sum, 1.0)
+    wn = w / wsp[:, None]
+    pad = np.maximum(1.0 - w_sum, 0.0) / wsp
+    freqs = np.abs(rng.standard_normal(S)) + 0.1
+    return (jnp.asarray(P, dtype), jnp.asarray(wn, dtype),
+            jnp.asarray(pad, dtype), jnp.asarray(freqs, dtype))
+
+
+@pytest.mark.parametrize('dtype', [np.float32, np.float64])
+def test_uniform_w_bit_identical(dtype):
+    """uniform_w=True computes the sin/cos(pi f w) chain once per row; on
+    row-constant weights the per-element math is identical (same input
+    bits -> same poly bits; padded entries restored to exact zero by the
+    select).  f64 (which keeps the jnp.sin path) is BIT-identical; f32 is
+    allowed 1-2 ulp per element (separately compiled XLA programs fuse
+    the structurally different graphs differently), amplified by the
+    cancelling quadrature sum -> tolerance a few ulp of the row scale."""
+    import functools
+    rng = np.random.default_rng(5)
+    R, B, S = 6, 16, 10
+    P, wn, pad, freqs = _rand_args_uniform(rng, R, B, S, dtype)
+    a = fsw_rank_aggregate(P, wn, pad, freqs, None, True, False, False)
+    b = fsw_rank_aggregate(P, wn, pad, freqs, None, True, False, True)
+
+    def check(x, y, name=''):
+        if dtype == np.float64:
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=name)
+        else:
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-6, atol=1e-6, err_msg=name)
+
+    check(a, b)
+
+    V = jnp.asarray(rng.standard_normal((R, S)), dtype)
+
+    def loss(unif, P, wn, pad, f):
+        return jnp.sum(
+            fsw_rank_aggregate(P, wn, pad, f, None, True, False, unif) * V)
+
+    ga = jax.grad(functools.partial(loss, False), argnums=(0, 3))(
+        P, wn, pad, freqs)
+    gb = jax.grad(functools.partial(loss, True), argnums=(0, 3))(
+        P, wn, pad, freqs)
+    for x, y, name in zip(ga, gb, ['dP', 'dfreqs']):
+        check(x, y, name)
+
+
+def test_uniform_w_proj_bit_identical():
+    """Same parity for the fused-projection kernel (f32 -> ulp-level
+    tolerance, see test_uniform_w_bit_identical)."""
+    from fsw_gnn_tpu.ops.fsw_rank_pallas import fsw_rank_aggregate_proj
+    rng = np.random.default_rng(6)
+    R, B, D, S = 6, 8, 4, 10
+    _, wn, pad, freqs = _rand_args_uniform(rng, R, B, S, np.float32)
+    Z = jnp.asarray(rng.standard_normal((R, B, D)), jnp.float32)
+    V = jnp.asarray(rng.standard_normal((D, S)), jnp.float32)
+    a = fsw_rank_aggregate_proj(Z, wn, pad, freqs, V, None, True, False,
+                                False)
+    b = fsw_rank_aggregate_proj(Z, wn, pad, freqs, V, None, True, False,
+                                True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-6, atol=1e-6)
+
+    G = jnp.asarray(rng.standard_normal((R, S)), jnp.float32)
+
+    def loss(unif, Z, wn, pad, f, V):
+        return jnp.sum(fsw_rank_aggregate_proj(
+            Z, wn, pad, f, V, None, True, False, unif) * G)
+
+    import functools
+    ga = jax.grad(functools.partial(loss, False), argnums=(0, 3, 4))(
+        Z, wn, pad, freqs, V)
+    gb = jax.grad(functools.partial(loss, True), argnums=(0, 3, 4))(
+        Z, wn, pad, freqs, V)
+    for x, y, name in zip(ga, gb, ['dZ', 'dfreqs', 'dV']):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-6, atol=1e-6, err_msg=name)
+
+
+def test_uniform_w_detection():
+    """Host-side row-constant detection: unit adjacency detects True;
+    gcn-normalized and mixed-weight tables detect False (safe fallback)."""
+    from fsw_gnn_tpu import from_edge_index, to_multi_table, \
+        to_neighbor_table
+    from fsw_gnn_tpu.graph import _detect_uniform_w
+    rng = np.random.default_rng(7)
+    n = 40
+    A = rng.random((n, n)) < 0.2
+    np.fill_diagonal(A, False)
+    src, dst = np.nonzero(A)
+    ei = np.stack([src, dst])
+
+    g_unit = from_edge_index(ei, n)
+    assert to_neighbor_table(g_unit).uniform_w
+    assert all(t.uniform_w for t in to_multi_table(g_unit).tables)
+    # self-loops of weight 1 keep rows constant
+    g_sl = from_edge_index(ei, n, self_loop_weight=1.0)
+    assert to_neighbor_table(g_sl).uniform_w
+    # gcn-normalized weights vary per edge -> fast path off
+    g_gcn = from_edge_index(ei, n, edge_weighting='gcn')
+    assert not to_neighbor_table(g_gcn).uniform_w
+    # direct predicate checks, incl. the positivity guard
+    assert _detect_uniform_w(np.array([[2.0, 2.0, 0.0]]))
+    assert not _detect_uniform_w(np.array([[2.0, 1.0, 0.0]]))
+    assert not _detect_uniform_w(np.array([[-1.0, -1.0]]))
+
+
+# ---------------------------------------------------------------------------
 # f32 fast trig (poly sin2pi + floor-based wrap; probe_select_ceiling.py)
 
 def test_round_wrap_f32_matches_numpy_round():
