@@ -65,8 +65,19 @@ from .ops.segment import (rows_gather, segment_cumsum,
 # waste cutoff regressed that config to the sort path (325 vs 192
 # ms/step).
 _RANK_RULES_BY_KIND = {
-    # v5e: every number above measured on this generation
-    'tpu v5 lite': dict(cap_dw=64, cap_nodw=128, waste_cart=1.2,
+    # v5e: every number above measured on this generation.
+    # waste_cart=8.6: round-4 re-measurement AFTER the trig campaign
+    # (benchmarks/bench_cart_waste.py + bench_cart_dw.py, R=8192 B=32
+    # F=8): the cartesian kernel beats sort at EVERY measured waste --
+    # S=128: 14.6/11.1 vs 105.6 ms (dw/nodw vs sort); S=48: 14.9/11.5 vs
+    # 49.0; S=16 (waste 8.0): 14.9/11.8 vs 19.4 -- overturning the
+    # round-2 "sort below full lanes" rule (the kernel's per-element trig
+    # cost has since dropped ~4x).  8.6 = full-lane margin 9.5 / SAFETY
+    # (the autotune derivation formula, validated by the S=16 point: at
+    # waste 8.0 the kernel still wins 1.65x); sort keeps shrinking with S
+    # while the kernel is flat below one lane tile, so tinier S could
+    # still flip.
+    'tpu v5 lite': dict(cap_dw=64, cap_nodw=128, waste_cart=8.6,
                         waste_nodw=2.2, waste_dw_narrow=1.4,
                         waste_dw_wide=1.05),
 }
@@ -123,9 +134,12 @@ def _resolve_aggregate(aggregate: str, cfg, bucket_size: int,
             rules (_rank_rules: v5e-measured table, autotune cache, or the
             FSW_ASSUME_V5E_RULES opt-in); 'sort' on CPU, on unknown
             hardware, and beyond the caps.
-            Cartesian (measured on v5e, R=8192 B=32 F=8): the kernel pads
-            the slice axis to the 128-lane tile, so it wins only near full
-            lanes (S=128: 45 vs 57 ms fwd+bwd = 1.27x; S=16: 3.8x SLOWER).
+            Cartesian (round-4 re-measurement on v5e, R=8192 B=32 F=8,
+            post-trig-campaign): the kernel wins at every measured lane
+            waste, INCLUDING weight grads via the split backward --
+            S=128: 7.2x (dw) / 9.5x (nodw) over sort; S=16 (waste 8.0):
+            1.3x / 1.65x.  with_dw routes through the two-kernel split
+            (compiles in ~95 s on HW, grads parity-ok on device).
     """
     if aggregate not in ('auto', 'sort', 'rank'):
         raise ValueError(f"aggregate must be 'auto'|'sort'|'rank', "
@@ -142,8 +156,12 @@ def _resolve_aggregate(aggregate: str, cfg, bucket_size: int,
     s = s_eff if s_eff is not None else cfg.nSlices
     waste = (-(-s // 128) * 128) / max(s, 1)
     if cfg.cartesian_mode:
-        if (not weights_grad and bucket_size <= rules['cap_nodw']
-                and waste <= rules['waste_cart']):
+        # weights_grad=True is allowed through the split with_dw backward
+        # (round-4 HW evidence: compiles in minutes, 7.2x over sort at
+        # S=128); its bucket cap is the stricter cap_dw until B > 32
+        # cartesian-with-dw compiles are measured
+        cap = rules['cap_nodw'] if not weights_grad else rules['cap_dw']
+        if bucket_size <= cap and waste <= rules['waste_cart']:
             return 'rank'
         return 'sort'
     if not weights_grad:

@@ -12,10 +12,11 @@ from fsw_gnn_tpu import embedding as E
 from fsw_gnn_tpu.utils import autotune as AT
 
 
-V5E_MARGINS = {  # the round-2 hardware measurements (BENCH.md)
+V5E_MARGINS = {  # hardware measurements (BENCH.md; cart re-measured r4
+    # post-trig-campaign: sort 105.6 / rank-nodw 11.1 ms at S=128 B=32)
     'dw': {32: 1.59, 64: 1.13, 128: 0.73},
     'nodw': {32: 2.6, 64: 2.3, 128: 2.3, 256: 1.10},
-    'cart': {32: 1.27},
+    'cart': {32: 9.51},
 }
 
 
