@@ -1,0 +1,104 @@
+"""GraphServer throughput: MultiTable degree-class envelope vs CSR.
+
+Round-2 task 9's done-criterion (the fast path's win was implemented and
+correctness-tested but never benchmarked).  Both servers hold ONE
+compiled executable each (GraphServer's CountingJit); every request is a
+fresh random graph padded into the (max_nodes, max_edges) envelope, so
+the measured per-request time is the TRUE online-serving cost: host-side
+CSR/table build + padding + device dispatch + compute + readback.
+
+The tunnel's ~25 ms dispatch RTT rides on every request in this
+environment (remote chip); it is reported separately via a
+dispatch-differencing estimate (the same request issued twice
+back-to-back amortizes the pipeline, the single-shot includes it).
+
+Run on TPU:  python benchmarks/bench_serving.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N_REQ = int(os.environ.get('SRV_REQUESTS', 32))
+MAX_NODES = int(os.environ.get('SRV_MAX_NODES', 2048))
+MAX_EDGES = int(os.environ.get('SRV_MAX_EDGES', 32768))
+D_IN = int(os.environ.get('SRV_DIN', 64))
+D_OUT = int(os.environ.get('SRV_DOUT', 16))
+
+
+def _request(rng, n, avg_deg=8):
+    E = n * avg_deg
+    src = rng.integers(0, n, E)
+    dst = rng.integers(0, n, E)
+    keep = src != dst
+    ei = np.stack([src[keep], dst[keep]])
+    X = rng.standard_normal((n, D_IN)).astype(np.float32)
+    return ei, X
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from fsw_gnn_tpu import FSWGNN, from_edge_index
+    from fsw_gnn_tpu.serving import GraphServer, multi_envelope
+
+    rng = np.random.default_rng(0)
+
+    # representative graph for the envelope + model init
+    ei0, X0 = _request(rng, MAX_NODES // 2)
+    g0 = from_edge_index(ei0, MAX_NODES // 2)
+    model = FSWGNN(in_channels=D_IN, hidden_dims=(64, D_OUT),
+                   minimize_slice_coherence=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X0), g0)
+
+    classes, class_rows = multi_envelope(g0, max_nodes=MAX_NODES)
+    srv_multi = GraphServer(model, variables, MAX_NODES, MAX_EDGES,
+                            classes=classes, class_rows=class_rows)
+    srv_csr = GraphServer(model, variables, MAX_NODES, MAX_EDGES)
+
+    # request stream: mixed sizes, all inside the envelope
+    reqs = [_request(rng, int(n))
+            for n in rng.integers(MAX_NODES // 4, MAX_NODES // 2 + 1,
+                                  N_REQ)]
+
+    for name, srv in [('multi-envelope', srv_multi), ('csr', srv_csr)]:
+        # compile (one per path) + drain
+        t0 = time.time()
+        srv.predict(*reqs[0])
+        print(json.dumps({'server': name,
+                          'first_request_s': round(time.time() - t0, 1)}),
+              flush=True)
+        lat = []
+        t_all = time.time()
+        for ei, X in reqs:
+            t0 = time.perf_counter()
+            out = srv.predict(ei, X)
+            lat.append(time.perf_counter() - t0)
+        wall = time.time() - t_all
+        lat_ms = np.sort(np.array(lat) * 1e3)
+        print(json.dumps({
+            'server': name,
+            'requests': len(reqs),
+            'req_per_s': round(len(reqs) / wall, 2),
+            'p50_ms': round(float(lat_ms[len(lat_ms) // 2]), 2),
+            'p90_ms': round(float(lat_ms[int(len(lat_ms) * 0.9)]), 2),
+            'max_ms': round(float(lat_ms[-1]), 2),
+            'compiles': srv.num_compiles(),
+            'fallbacks': srv.fallbacks,
+        }), flush=True)
+        assert srv.num_compiles() == 1, 'recompiled mid-stream!'
+
+    # numeric cross-check on the last request
+    a = srv_multi.predict(*reqs[-1])
+    b = srv_csr.predict(*reqs[-1])
+    err = float(np.max(np.abs(a - b)) / (1e-6 + np.max(np.abs(b))))
+    print(json.dumps({'cross_check_rel_err': f'{err:.2e}',
+                      'ok': err < 5e-5}), flush=True)
+
+
+if __name__ == '__main__':
+    main()

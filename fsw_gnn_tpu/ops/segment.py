@@ -248,6 +248,33 @@ def _spf_bwd(perm, cts):
 sort_pairs_fused.defvjp(_spf_fwd, _spf_bwd)
 
 
+@jax.custom_vjp
+def sort_keys_fused(keys: jax.Array):
+    """Sort keys ascending along the LAST axis (batched over leading axes)
+    with the sort-based-unsort backward: one sort keyed on the saved
+    permutation instead of elementwise scatters (the round-1 measured 2.6x
+    law, same as sort_pairs_fused).  Carries NOTHING -- half the sort
+    payload of sort_pairs_fused, for paths whose non-key payload is static
+    (e.g. the uniform-weight multiset grid quadrature)."""
+    return jax.lax.sort(keys, dimension=-1, is_stable=True)
+
+
+def _skf_fwd(keys):
+    iota = jnp.broadcast_to(
+        jnp.arange(keys.shape[-1], dtype=jnp.int32), keys.shape)
+    ks, perm = jax.lax.sort((keys, iota), dimension=-1, is_stable=True,
+                            num_keys=1)
+    return ks, perm
+
+
+def _skf_bwd(perm, ct):
+    _, dk = jax.lax.sort((perm, ct), dimension=-1, num_keys=1)
+    return (dk,)
+
+
+sort_keys_fused.defvjp(_skf_fwd, _skf_bwd)
+
+
 def sort_perm_by_segmented_keys(keys: jax.Array, segment_ids: jax.Array):
     """(perm, inv_perm) ordering keys ascending within sorted segments."""
     iota = jnp.arange(keys.shape[0], dtype=jnp.int32)

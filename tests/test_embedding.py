@@ -520,3 +520,44 @@ def test_multiset_rank_matches_sort(cartesian, explicit_w):
     for ga, gb in zip(loss('sort'), loss('rank')):
         np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
                                    rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize('w_mode', ['unit', 'uniform'])
+@pytest.mark.parametrize('thresh', [1.0, 7.5])
+def test_multiset_grid_quadrature_matches_generic(w_mode, thresh):
+    """The static-grid quadrature (W=None fast path: sorted cumulative
+    weight is the static grid c_j=(j+1)wc, trig precomputed per (slice,
+    rank)) must match the generic sort+cumsum path -- which is forced by
+    passing the SAME synthesized weights explicitly -- on outputs, dX and
+    dfreqs.  thresh=7.5 > total mass exercises the phantom-mass (padc)
+    select branch."""
+    rng = np.random.default_rng(23)
+    B, n, d = 5, 6, 3
+    cfg = FSWConfig(d_in=d, d_out=8, enable_bias=False,
+                    total_mass_pad_thresh=thresh)
+    proj = jnp.asarray(rng.standard_normal((cfg.nSlices, d)))
+    proj = proj / jnp.linalg.norm(proj, axis=1, keepdims=True)
+    freqs = jnp.asarray(np.abs(rng.standard_normal(cfg.nFreqs)) + 0.1)
+    X = jnp.asarray(rng.standard_normal((B, n, d)))
+    W_explicit = (jnp.ones((B, n)) if w_mode == 'unit'
+                  else jnp.full((B, n), 1.0 / n))
+
+    def f_grid(X, freqs):
+        return fsw_embed_multiset(X, None, proj, freqs, cfg,
+                                  w_mode=w_mode, aggregate='sort')
+
+    def f_generic(X, freqs):
+        return fsw_embed_multiset(X, W_explicit, proj, freqs, cfg,
+                                  aggregate='sort', weights_grad=False)
+
+    a = np.asarray(f_grid(X, freqs))
+    b = np.asarray(f_generic(X, freqs))
+    np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-11)
+
+    for i in (0, 1):
+        ga = jax.grad(lambda *args: jnp.sum(jnp.sin(f_grid(*args))),
+                      argnums=i)(X, freqs)
+        gb = jax.grad(lambda *args: jnp.sum(jnp.sin(f_generic(*args))),
+                      argnums=i)(X, freqs)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-9, atol=1e-10)
