@@ -291,6 +291,37 @@ def main():
                          - (2.0 * c - ws) * sin_fw * sin_t)
         return dp + dc + P * sd + P * phi_f
 
+    # ---- round-4: the uniform_w (row-constant weight) production tails.
+    # The u_sin wrap+poly chain runs once per ROW on a (TR, 1, S) operand
+    # (cost / B) + a 2-op select per element.
+    from fsw_gnn_tpu.ops.fsw_rank_pallas import _trig_unif as _trig_unif_prod
+
+    def body_fwd_tail_unif(P, wn, pos):
+        ws = jnp.broadcast_to(wn[:, :, None], P.shape)
+        c = 0.3 * P + ws
+        f = 0.7 + 0.001 * jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, S), 2).astype(jnp.float32)
+        sin_fw, _, _, cos_t = _trig_unif_prod(ws, wn, c, f)
+        fz, c2f, _, _ = _fc_prod(f)
+        sd = _sd_prod(fz, c2f, ws, sin_fw, cos_t)
+        return (1.0 + f) * (P * sd)
+
+    def body_bwd_tail_unif(P, wn, pos):
+        ws = jnp.broadcast_to(wn[:, :, None], P.shape)
+        c = 0.3 * P + ws
+        f = 0.7 + 0.001 * jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, S), 2).astype(jnp.float32)
+        g1 = 1.0 + f
+        sin_fw, cos_fw, sin_t, cos_t = _trig_unif_prod(ws, wn, c, f)
+        fz, c2f, inv2f, inv_pf = _fc_prod(f)
+        sd = _sd_prod(fz, c2f, ws, sin_fw, cos_t)
+        dp = g1 * sd
+        dc = g1 * P * (-4.0) * sin_fw * sin_t
+        phi_f = inv2f * (ws * cos_fw * cos_t
+                         - inv_pf * sin_fw * cos_t
+                         - (2.0 * c - ws) * sin_fw * sin_t)
+        return dp + dc + P * sd + P * phi_f
+
     def body_round_only(P, wn, pos):
         return P - jnp.round(P)
 
@@ -356,6 +387,8 @@ def main():
               'bwd_tail_poly2': (body_bwd_tail_poly2, 60, 1),
               'fwd_tail_new': (body_fwd_tail_new, 20, 1),
               'bwd_tail_new': (body_bwd_tail_new, 45, 1),
+              'fwd_tail_unif': (body_fwd_tail_unif, 12, 1),
+              'bwd_tail_unif': (body_bwd_tail_unif, 37, 1),
               'cast_round_only': (body_cast_round_only, 5, 1),
               'floor_wrap_only': (body_floor_wrap_only, 3, 1)}
     only = os.environ.get('FSW_PROBE_ONLY')

@@ -623,7 +623,8 @@ def bucket_quadrature(P: jax.Array, wn: jax.Array, pad_norm: jax.Array,
         a32 = (P.astype(f32), wn.astype(f32), pad_norm.astype(f32),
                f_block.astype(f32))
         if cfg.cartesian_mode:
-            out = fsw_rank_aggregate_cart(*a32, None, cpu, weights_grad)
+            out = fsw_rank_aggregate_cart(*a32, None, cpu, weights_grad,
+                                          uniform_w)
         else:
             out = fsw_rank_aggregate(*a32, None, cpu, weights_grad,
                                      uniform_w)

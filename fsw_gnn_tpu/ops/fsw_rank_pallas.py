@@ -866,7 +866,8 @@ def _cart_common(p_ref, wn_ref, pad_ref):
     return P, wn, ws, c, pos
 
 
-def _fwdc_kernel(n_freqs, p_ref, wn_ref, pad_ref, freq_ref, out_ref):
+def _fwdc_kernel(n_freqs, uniform_w, p_ref, wn_ref, pad_ref, freq_ref,
+                 out_ref):
     P, wn, ws, c, pos = _cart_common(p_ref, wn_ref, pad_ref)
     TR, B, S = P.shape
     F_pad = out_ref.shape[1]
@@ -876,7 +877,7 @@ def _fwdc_kernel(n_freqs, p_ref, wn_ref, pad_ref, freq_ref, out_ref):
             rows.append(jnp.zeros((TR, 1, S), P.dtype))
             continue
         f = _cart_row(freq_ref, j, S)                # (1, 1, S)
-        sin_fw, _, _, cos_t = _trig(ws, c, f)
+        sin_fw, _, _, cos_t = _trig_maybe_unif(uniform_w, ws, wn, c, f)
         fz, c2f, _, _ = _freq_consts(f)
         sd = _sd(fz, c2f, ws, sin_fw, cos_t)
         q = jnp.sum(P * sd, axis=1, keepdims=True)   # (TR, 1, S)
@@ -884,8 +885,8 @@ def _fwdc_kernel(n_freqs, p_ref, wn_ref, pad_ref, freq_ref, out_ref):
     out_ref[:] = jnp.concatenate(rows, axis=1)       # (TR, F_pad, S)
 
 
-def _bwdc_kernel(n_freqs, with_dw, p_ref, wn_ref, pad_ref, freq_ref, g_ref,
-                 *out_refs):
+def _bwdc_kernel(n_freqs, with_dw, uniform_w, p_ref, wn_ref, pad_ref,
+                 freq_ref, g_ref, *out_refs):
     """Cartesian backward, stage 1: the per-frequency trig loop.
 
     with_dw=True emits dc (TR, B, S) and the DIRECT dwn term as extra
@@ -915,7 +916,9 @@ def _bwdc_kernel(n_freqs, with_dw, p_ref, wn_ref, pad_ref, freq_ref, g_ref,
             continue
         f = _cart_row(freq_ref, j, S)                # (1, 1, S)
         g_j = g[:, j:j + 1, :]                       # (TR, 1, S)
-        sin_fw, cos_fw, sin_t, cos_t = _trig(ws, c, f)
+        # uniform_w only without dw (see _trig_unif's cos_fw caveat)
+        sin_fw, cos_fw, sin_t, cos_t = _trig_maybe_unif(
+            uniform_w and not with_dw, ws, wn, c, f)
         fz, c2f, inv2f, inv_pf = _freq_consts(f)
         sd = _sd(fz, c2f, ws, sin_fw, cos_t)         # phi
         g1 = (1.0 + f) * g_j
@@ -1021,11 +1024,12 @@ def _pick_tile_mask(B, S_pad):
     return tr
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def fsw_rank_aggregate_cart(P, wn, pad_norm, freqs,
                             tile_r: int | None = None,
                             interpret: bool = False,
-                            with_dw: bool = True):
+                            with_dw: bool = True,
+                            uniform_w: bool = False):
     """Fused cartesian-mode FSW aggregation over a neighbor-table class.
 
     P (R, B, S): per-entry projections; wn (R, B): normalized weights;
@@ -1034,12 +1038,16 @@ def fsw_rank_aggregate_cart(P, wn, pad_norm, freqs,
     out (R, S, F) INCLUDING the (1 + f) factor, BEFORE collapse/total-mass
     finalization.  The B-step rank loop runs once and is shared by all F
     frequencies.  Differentiable in P, wn, pad_norm, freqs; with_dw=False
-    as in `fsw_rank_aggregate`.
+    and uniform_w as in `fsw_rank_aggregate` (in cartesian mode the
+    uniform-weight saving multiplies by F: the u_sin chain drops out of
+    every frequency iteration).
     """
-    return _fwdc_call(P, wn, pad_norm, freqs, tile_r, interpret)
+    return _fwdc_call(P, wn, pad_norm, freqs, tile_r, interpret,
+                      uniform_w)
 
 
-def _fwdc_call(P, wn, pad_norm, freqs, tile_r, interpret):
+def _fwdc_call(P, wn, pad_norm, freqs, tile_r, interpret,
+               uniform_w=False):
     R, B, S = P.shape
     F = freqs.shape[1]
     S_pad = -(-S // 128) * 128
@@ -1060,7 +1068,7 @@ def _fwdc_call(P, wn, pad_norm, freqs, tile_r, interpret):
                      memory_space=pltpu.VMEM),
     ]
     out = pl.pallas_call(
-        functools.partial(_fwdc_kernel, F),
+        functools.partial(_fwdc_kernel, F, uniform_w),
         grid=(R_pad // tr,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tr, F_pad, S_pad), lambda i: (i, 0, 0),
@@ -1073,12 +1081,13 @@ def _fwdc_call(P, wn, pad_norm, freqs, tile_r, interpret):
     return jnp.moveaxis(out[:R, :F, :S], 1, 2)
 
 
-def _fswc_fwd(P, wn, pad_norm, freqs, tile_r, interpret, with_dw):
-    out = _fwdc_call(P, wn, pad_norm, freqs, tile_r, interpret)
+def _fswc_fwd(P, wn, pad_norm, freqs, tile_r, interpret, with_dw,
+              uniform_w):
+    out = _fwdc_call(P, wn, pad_norm, freqs, tile_r, interpret, uniform_w)
     return out, (P, wn, pad_norm, freqs)
 
 
-def _fswc_bwd(tile_r, interpret, with_dw, res, g):
+def _fswc_bwd(tile_r, interpret, with_dw, uniform_w, res, g):
     P, wn, pad_norm, freqs = res
     R, B, S = P.shape
     F = freqs.shape[1]
@@ -1117,7 +1126,7 @@ def _fswc_bwd(tile_r, interpret, with_dw, res, g):
     dwn_shape = jax.ShapeDtypeStruct((R_pad, B_pad), P.dtype)
     dpad_shape = jax.ShapeDtypeStruct((R_pad, 1), P.dtype)
     df_shape = jax.ShapeDtypeStruct((F_pad, S_pad), P.dtype)
-    kern = functools.partial(_bwdc_kernel, F, with_dw)
+    kern = functools.partial(_bwdc_kernel, F, with_dw, uniform_w)
     if with_dw:
         # stage 1: trig loop -> dp, dc, dwn_direct, df
         dc_spec = pl.BlockSpec((tr, B_pad, S_pad), lambda i: (i, 0, 0),

@@ -478,6 +478,38 @@ def test_uniform_w_proj_bit_identical():
                                    rtol=2e-6, atol=1e-6, err_msg=name)
 
 
+def test_uniform_w_cart_parity():
+    """Cartesian kernel: uniform_w fast path vs per-entry path (f64 exact
+    jnp trig -> bit-identical is expected, but allow ulp-level fusion
+    drift like the non-cart f32 case), forward and with_dw=False grads."""
+    import functools
+    from fsw_gnn_tpu.ops.fsw_rank_pallas import fsw_rank_aggregate_cart
+    rng = np.random.default_rng(9)
+    R, B, S, F = 5, 8, 6, 3
+    P, wn, pad, _ = _rand_args_uniform(rng, R, B, S)
+    freqs = jnp.asarray(np.abs(rng.standard_normal((S, F))) + 0.1)
+    a = fsw_rank_aggregate_cart(P, wn, pad, freqs, None, True, False,
+                                False)
+    b = fsw_rank_aggregate_cart(P, wn, pad, freqs, None, True, False,
+                                True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-12, atol=1e-14)
+
+    G = jnp.asarray(rng.standard_normal((R, S, F)))
+
+    def loss(unif, P, wn, pad, f):
+        return jnp.sum(fsw_rank_aggregate_cart(
+            P, wn, pad, f, None, True, False, unif) * G)
+
+    ga = jax.grad(functools.partial(loss, False), argnums=(0, 3))(
+        P, wn, pad, freqs)
+    gb = jax.grad(functools.partial(loss, True), argnums=(0, 3))(
+        P, wn, pad, freqs)
+    for x, y, name in zip(ga, gb, ['dP', 'dfreqs']):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-12, atol=1e-14, err_msg=name)
+
+
 def test_uniform_w_detection():
     """Host-side row-constant detection: unit adjacency detects True;
     gcn-normalized and mixed-weight tables detect False (safe fallback)."""
