@@ -1000,11 +1000,14 @@ def _pick_tile_cart(B, S_pad, F_pad, bwd: bool,
                     with_dw: bool = False, budget_bytes=None):
     """Row tile for the cartesian kernel: live VMEM ~ (rank arrays +
     per-freq temporaries + the (TR, F, S) output/cotangent block).
-    The no-dw backward model (14 arrays) is validated on HW (B=32,
-    S_pad=128 ran at the default tile); the with_dw stage-1 backward
-    (dc producer) additionally streams the dc/dp output blocks and the
-    dwn_direct accumulator -- a couple more live arrays."""
-    arrays = (18 if (bwd and with_dw) else 14 if bwd else 8)
+    Backward array model 26: the round-3 value (14, "validated" at B=32)
+    was an artifact of both models picking the SAME tile at B=32 -- the
+    round-4 autotune run OOM'd the no-dw backward at B=64/tile 128 with
+    a measured 104.65 MB scoped stack = ~25 live (TR, B, S) f32 arrays
+    (104.65e6 / (128*64*128*4)); 26 = measured + 1 safety.  The with_dw
+    stage-1 backward streams dc/dp/dwn_direct on top -- same bucket, the
+    B=32 tile is unchanged under either count."""
+    arrays = 26 if bwd else 8
     budget = budget_bytes or (int(0.7 * _vmem_limit()) if bwd
                               else 8 * 1024 * 1024)
     tr = 256

@@ -91,7 +91,8 @@ def _affine_carry_scan(a, b, max_depth):
     return a
 
 
-def _row_segscan_matmul(vals, segs, max_stride, nonnegative):
+def _row_segscan_matmul(vals, segs, max_stride, nonnegative,
+                        precision='highest'):
     """Within-row segmented scan via the MXU (one-pass formulation).
 
     The full in-row inclusive prefix rides the MXU as a triangular-ones
@@ -106,9 +107,15 @@ def _row_segscan_matmul(vals, segs, max_stride, nonnegative):
     (nonnegative) while the value accumulation itself runs on the MXU in
     parallel.
 
-    f32 error: ~eps x the in-row 128-element prefix (the MXU f32 path),
-    vs the direct scan's eps x segment prefix -- same class, both far
-    below the global-cumsum-minus-base formulation this kernel replaces.
+    f32 error: ~eps x the in-row 128-element prefix AT precision
+    'highest' -- which is therefore the default.  ROUND-4 HW FINDING: the
+    TPU MXU's DEFAULT f32 matmul precision decomposes operands into bf16
+    passes, so the round-3 formulation silently returned bf16-CLASS
+    results on hardware (measured 3.9e-3 max rel err on 16M N(0,1)
+    elements; interpret mode computes true f32 and hid it).  'highest'
+    (6-pass f32 emulation) restores the scan-exact contract at ~6x the
+    MXU cost of the triangle; 'default' stays available for callers that
+    accept bf16-class sums (measured ladder in BENCH.md).
     """
     j = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     i = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
@@ -116,7 +123,8 @@ def _row_segscan_matmul(vals, segs, max_stride, nonnegative):
                     jnp.zeros((), vals.dtype))
     p_full = jax.lax.dot_general(
         vals, tri, (((1,), (0,)), ((), ())),
-        preferred_element_type=vals.dtype)             # (ROWS, LANES)
+        preferred_element_type=vals.dtype,
+        precision=precision)                           # (ROWS, LANES)
 
     # ends of segments within the row: seg changes at the next lane
     next_s = jnp.concatenate(
@@ -147,7 +155,8 @@ def _row_segscan_matmul(vals, segs, max_stride, nonnegative):
 
 
 def _segcumsum_kernel(v_ref, s_ref, out_ref, carry_v, carry_s,
-                      *, max_seg_size, method='scan', nonnegative=False):
+                      *, max_seg_size, method='scan', nonnegative=False,
+                      precision='highest'):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -162,7 +171,7 @@ def _segcumsum_kernel(v_ref, s_ref, out_ref, carry_v, carry_s,
     # 1) lane-wise segmented scan within each row
     if method == 'matmul':
         scanned = _row_segscan_matmul(vals, segs, min(max_seg_size, LANES),
-                                      nonnegative)
+                                      nonnegative, precision)
     else:
         scanned = _row_segscan(vals, segs, min(max_seg_size, LANES))
 
@@ -205,13 +214,14 @@ def _segcumsum_kernel(v_ref, s_ref, out_ref, carry_v, carry_s,
 
 @functools.partial(jax.jit, static_argnames=('rows_per_block', 'interpret',
                                              'max_seg_size', 'method',
-                                             'nonnegative'))
+                                             'nonnegative', 'precision'))
 def segcumsum_pallas(values: jax.Array, segment_ids: jax.Array,
                      rows_per_block: int | None = None,
                      interpret: bool = False,
                      max_seg_size: int | None = None,
                      method: str = 'scan',
-                     nonnegative: bool = False) -> jax.Array:
+                     nonnegative: bool = False,
+                     precision: str = 'highest') -> jax.Array:
     """Segmented inclusive cumsum of a flat array (sorted segment ids).
 
     Pads to a multiple of rows_per_block*128 internally; returns the original
@@ -241,7 +251,9 @@ def segcumsum_pallas(values: jax.Array, segment_ids: jax.Array,
     prefer 'scan' when adjacent segments differ by many orders of
     magnitude.  `nonnegative=True` (caller-asserted values >= 0, e.g.
     weights) lets 'matmul' use the running-max fill (~2.5x fewer VPU ops
-    per doubling pass).
+    per doubling pass).  `precision` ('highest' default) controls the
+    MXU triangle's f32 decomposition -- see _row_segscan_matmul's
+    round-4 HW finding before lowering it.
     """
     n = values.shape[0]
     assert segment_ids.shape == (n,)
@@ -264,7 +276,8 @@ def segcumsum_pallas(values: jax.Array, segment_ids: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_segcumsum_kernel, max_seg_size=max_seg_size,
-                          method=method, nonnegative=nonnegative),
+                          method=method, nonnegative=nonnegative,
+                          precision=precision),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((rows_per_block, LANES), lambda i: (i, 0),

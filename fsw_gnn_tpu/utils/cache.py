@@ -28,6 +28,13 @@ class CountingJit:
     .compile()` and the executable is kept here, so `num_compiles`
     counts real XLA compiles and only ever increments (on a key miss).
 
+    (The exact invalidation path behind the observed 0 was not
+    reproduced in isolation -- config.update toggles and 5000-function
+    global-cache pressure both left `_cache_size()` intact -- which is
+    itself the argument for this wrapper: the introspective counter
+    depends on internals with multiple opaque invalidation paths, the
+    owned counter on none.)
+
     jit kwargs (e.g. donate_argnums) are forwarded; donation semantics
     are preserved by the compiled executable.
     """
