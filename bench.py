@@ -90,7 +90,12 @@ def main():
     src = rng.integers(0, N_NODES, E)
     dst = rng.integers(0, N_NODES, E)
     keep = src != dst
-    edge_index = np.stack([src[keep], dst[keep]])
+    # dedupe: duplicate pairs coalesce to weight 2 in from_edge_index,
+    # which makes rows non-uniform and silently disables the row-constant
+    # trig fast path (uniform_w) -- the benchmark graph is a SIMPLE
+    # random graph, like the test/demo generators
+    pairs = np.unique(src[keep].astype(np.int64) * N_NODES + dst[keep])
+    edge_index = np.stack([pairs // N_NODES, pairs % N_NODES])
     dt = jnp.bfloat16 if DTYPE == 'bfloat16' else jnp.float32
     g = from_edge_index(edge_index, N_NODES, dtype=dt)
     E_real = g.num_edges

@@ -139,13 +139,18 @@ class GraphServer:
 
     def __init__(self, model, variables, max_nodes: int, max_edges: int,
                  *, d_edge: int = 0, dtype=jnp.float32,
-                 classes=None, class_rows=None):
+                 classes=None, class_rows=None,
+                 assume_uniform_w: bool = False):
         self.model = model
         self.variables = variables
         self.max_nodes = int(max_nodes)
         self.max_edges = int(max_edges)
         self.d_edge = int(d_edge)
         self.dtype = dtype
+        # pinned static uniform_w for request tables (see predict): the
+        # per-request detected flag is data-dependent static metadata and
+        # would fork the compile cache
+        self.assume_uniform_w = bool(assume_uniform_w)
         self._fwd = CountingJit(
             lambda variables, X, g: model.apply(variables, X, g))
         assert (classes is None) == (class_rows is None), (
@@ -196,13 +201,20 @@ class GraphServer:
             from .graph import to_multi_table
             mt = to_multi_table(g, classes=self.classes,
                                 class_rows=self.class_rows)
-            # num_edges is static pytree aux data at BOTH levels (the
-            # MultiTable and each class table records its real entry
-            # count); normalize so every request shares one jit cache entry
+            # num_edges AND uniform_w are static pytree aux data; both
+            # must be normalized so every request shares one jit cache
+            # entry.  uniform_w is DATA-DEPENDENT (a request with a
+            # duplicate edge coalesces to weight 2 -> non-uniform rows),
+            # so it is pinned to the server-level `assume_uniform_w`
+            # (default False = always correct; opt in only when every
+            # request is a simple unit-weight graph).  Caught live by the
+            # serving benchmark: per-request detection compiled a second
+            # executable mid-stream.
             mt = dataclasses.replace(
                 mt, num_edges=self.max_edges,
-                tables=tuple(dataclasses.replace(t, num_edges=0)
-                             for t in mt.tables))
+                tables=tuple(dataclasses.replace(
+                    t, num_edges=0, uniform_w=self.assume_uniform_w)
+                    for t in mt.tables))
             out = self._fwd_multi(self.variables, X_dev, mt)
         else:
             if self.classes is not None:

@@ -105,6 +105,20 @@ def test_graph_server_multi_fast_path():
     assert srv._fwd_multi.num_compiles == 1     # fast path, one compile
     assert srv._fwd.num_compiles == 0           # CSR never ran
 
+    # a DUPLICATE-edge request coalesces to a weight-2 edge -> non-uniform
+    # rows; the server must still hit the SAME multi executable (uniform_w
+    # pinned, not per-request detected -- the round-4 serving bench caught
+    # a second mid-stream compile here)
+    r = np.random.default_rng(11)
+    ei_dup = _random_graph(r, 21)
+    ei_dup = np.concatenate([ei_dup, ei_dup[:, :1]], axis=1)  # dup 1 edge
+    Xd = r.standard_normal((21, d_in)).astype(np.float32)
+    got = srv.predict(ei_dup, Xd)
+    want = ref.predict(ei_dup, Xd)
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-5)
+    assert srv.fallbacks == 0
+    assert srv._fwd_multi.num_compiles == 1     # STILL one compile
+
     # a request whose max degree exceeds the envelope falls back to CSR
     star_n = 50
     hub = np.zeros(star_n - 1, np.int64)

@@ -285,17 +285,25 @@ def test_rank_aggregate_cartesian_matches_sort(slice_chunk):
 
 
 def test_auto_resolution_rules(monkeypatch):
-    """aggregate='auto' backend selection, incl. the measured cartesian
-    rules (rank only with weights_grad=False, bucket <= cap, and
-    lane-padding waste within the mode's measured margin)."""
+    """aggregate='auto' backend selection, incl. the round-4 re-measured
+    cartesian rules (kernel wins at every measured lane waste <= 8.6,
+    INCLUDING weight grads via the split with_dw backward; bucket caps
+    cap_dw/cap_nodw still apply)."""
     from fsw_gnn_tpu import embedding as E
     monkeypatch.setattr(E.jax, 'default_backend', lambda: 'tpu')
     monkeypatch.setattr(E, '_device_kind', lambda: 'tpu v5 lite')
     cart = FSWConfig(d_in=4, n_slices=128, n_freqs=8, enable_bias=False)
     assert E._resolve_aggregate('auto', cart, 32, weights_grad=False) == 'rank'
-    assert E._resolve_aggregate('auto', cart, 32, weights_grad=True) == 'sort'
+    # round 4: with_dw cartesian rides the split backward (7.2x at S=128)
+    assert E._resolve_aggregate('auto', cart, 32, weights_grad=True) == 'rank'
+    # ...but its bucket cap is the stricter cap_dw (64)
+    assert E._resolve_aggregate('auto', cart, 96,
+                                weights_grad=True) == 'sort'
+    # waste 2.0 is inside the re-measured 8.6 gate; waste 16 is not
     assert E._resolve_aggregate('auto', cart, 32, weights_grad=False,
-                                s_eff=64) == 'sort'
+                                s_eff=64) == 'rank'
+    assert E._resolve_aggregate('auto', cart, 32, weights_grad=False,
+                                s_eff=8) == 'sort'
     assert E._resolve_aggregate('auto', cart, 256,
                                 weights_grad=False) == 'sort'
     plain = FSWConfig(d_in=4, d_out=127, enable_bias=False)
@@ -315,7 +323,7 @@ def test_auto_resolution_rules(monkeypatch):
                                 s_eff=63) == 'sort'
     assert E._resolve_aggregate('auto', plain, 32, s_eff=16) == 'sort'
     assert E._resolve_aggregate('auto', cart, 32, weights_grad=False,
-                                s_eff=63) == 'sort'
+                                s_eff=63) == 'rank'   # waste 2.03 <= 8.6
     narrow = FSWConfig(d_in=4, d_out=16, enable_bias=False)
     assert E._resolve_aggregate('auto', narrow, 32) == 'sort'
     monkeypatch.setattr(E.jax, 'default_backend', lambda: 'cpu')
