@@ -20,3 +20,35 @@ def test_compilation_cache_persists_entries(tmp_path):
         assert entries, 'no cache entries written'
     finally:
         jax.config.update('jax_compilation_cache_dir', None)
+
+
+def test_counting_jit_monotone_and_deterministic():
+    """CountingJit: one real compile per distinct (treedef, shapes/dtypes)
+    key; repeat calls hit the owned executable cache; donation preserved."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fsw_gnn_tpu.utils.cache import CountingJit
+
+    f = CountingJit(lambda x, y: x + y)
+    a = jnp.ones((4,))
+    assert f.num_compiles == 0
+    out = f(a, a)
+    assert f.num_compiles == 1
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+    f(a + 1, a)                      # same shapes -> cache hit
+    assert f.num_compiles == 1
+    f(jnp.ones((8,)), jnp.ones((8,)))   # new shape -> one more compile
+    assert f.num_compiles == 2
+    # different treedef (static structure) -> new key
+    g = CountingJit(lambda t: t[0] + t[1])
+    g((a, a))
+    g((a, a))
+    assert g.num_compiles == 1
+
+    # donation is forwarded to the compiled executable
+    h = CountingJit(lambda x: x * 2, donate_argnums=(0,))
+    x = jnp.ones((16,))
+    h(x)
+    assert h.num_compiles == 1 and x.is_deleted()
