@@ -101,6 +101,11 @@ def cmd_autotune(args) -> int:
     by device kind so aggregate='auto' can use the rank kernel on
     generations without a measured rules table."""
     from .utils.autotune import autotune_rank_rules, cache_path
+    from .utils.cache import enable_compilation_cache
+    # persistent XLA cache: a rerun after a mid-sweep failure (or a config
+    # tweak) pays ~nothing for the programs that already compiled; run
+    # TIMES are unaffected (the cache skips compiles, not execution)
+    enable_compilation_cache()
     rules = autotune_rank_rules(write_cache=not args.dry_run)
     print(json.dumps({'rules': rules,
                       'cache': None if args.dry_run else cache_path()}))

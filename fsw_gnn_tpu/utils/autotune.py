@@ -175,8 +175,26 @@ def _measure_margins(buckets=PROBE_BUCKETS, entries=PROBE_ENTRIES,
                     out = bucket_quadrature(P, wn, pad, freqs, cfg, impl,
                                             weights_grad=wg)
                     return jnp.sum(jnp.sin(out))
-                ts[impl] = time_fn(loss, (P,))
-            margins[mode][B] = ts['sort'] / ts['rank']
+                if impl == 'rank':
+                    # a config the kernel cannot COMPILE (e.g. the B=256
+                    # with_dw backward's unrolled mask loop spills ~170 MB
+                    # of registers -- round-4 VMEM OOM on v5e) loses by
+                    # definition: margin 0.0, keep measuring the rest
+                    try:
+                        ts[impl] = time_fn(loss, (P,))
+                    except Exception as e:  # noqa: BLE001 -- compiler errs
+                        print(json.dumps({
+                            'autotune': f'{mode} B={B}',
+                            'rank_compile_failed':
+                                type(e).__name__}), flush=True)
+                        ts[impl] = None
+                else:
+                    ts[impl] = time_fn(loss, (P,))
+            margins[mode][B] = (0.0 if ts['rank'] is None
+                                else ts['sort'] / ts['rank'])
+            print(json.dumps({'autotune': f'{mode} B={B}',
+                              'margin': round(margins[mode][B], 3)}),
+                  flush=True)
     return margins
 
 
