@@ -92,6 +92,18 @@ def main():
         }), flush=True)
         assert srv.num_compiles() == 1, 'recompiled mid-stream!'
 
+        # throughput mode: dispatch-all-then-materialize overlaps host
+        # build + tunnel transfers with device execution
+        t0 = time.time()
+        outs = srv.predict_many(reqs)
+        wall_p = time.time() - t0
+        print(json.dumps({
+            'server': name, 'mode': 'pipelined (predict_many)',
+            'req_per_s': round(len(reqs) / wall_p, 2),
+            'compiles': srv.num_compiles(),
+        }), flush=True)
+        assert srv.num_compiles() == 1
+
     # numeric cross-check on the last request
     a = srv_multi.predict(*reqs[-1])
     b = srv_csr.predict(*reqs[-1])

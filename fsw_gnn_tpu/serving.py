@@ -184,6 +184,24 @@ class GraphServer:
 
     def predict(self, edge_index, features, edge_features=None) -> np.ndarray:
         """edge_index (2, E), features (N, d_in); returns (N, out_dim)."""
+        out, N = self._dispatch(edge_index, features, edge_features)
+        return np.asarray(out[:N])
+
+    def predict_many(self, requests) -> list:
+        """Pipelined batch: dispatch EVERY request before materializing
+        any result.  XLA's async dispatch then overlaps request k+1's
+        host-side build + transfers with the device execution of request
+        k, so throughput is not bound by the per-request round-trip the
+        sequential `predict` pays (per-request latency is unchanged --
+        this is the throughput mode).  `requests`: iterable of
+        (edge_index, features[, edge_features]) tuples; returns the list
+        of (N, out_dim) arrays in order."""
+        pending = [self._dispatch(*req) for req in requests]
+        return [np.asarray(out[:N]) for out, N in pending]
+
+    def _dispatch(self, edge_index, features, edge_features=None):
+        """Build + pad + route one request and dispatch the device call
+        WITHOUT materializing; returns (device_out, N)."""
         features = np.asarray(features)
         N = features.shape[0]
         E = np.asarray(edge_index).shape[1]
@@ -221,7 +239,7 @@ class GraphServer:
                 self.fallbacks += 1
             g = dataclasses.replace(g, num_edges=self.max_edges)
             out = self._fwd(self.variables, X_dev, g)
-        return np.asarray(out[:N])
+        return out, N
 
     def num_compiles(self) -> int:
         """Total real XLA compiles across both paths (1 after any number

@@ -65,6 +65,21 @@ def test_graph_server_one_compile_many_graphs():
         np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-5)
     assert srv.num_compiles() == 1
 
+    # pipelined batch API: same results, same single executable
+    batch = []
+    wants = []
+    for seed, n in [(5, 18), (6, 40)]:
+        r = np.random.default_rng(seed)
+        ei = _random_graph(r, n)
+        X = r.standard_normal((n, d_in)).astype(np.float32)
+        batch.append((ei, X))
+        wants.append(np.asarray(model.apply(variables, jnp.asarray(X),
+                                            from_edge_index(ei, n))))
+    outs = srv.predict_many(batch)
+    for got, want in zip(outs, wants):
+        np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-5)
+    assert srv.num_compiles() == 1
+
     # envelope enforcement
     big = _random_graph(np.random.default_rng(9), 80)
     Xbig = np.zeros((80, d_in), np.float32)
