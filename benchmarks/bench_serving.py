@@ -45,6 +45,11 @@ def main():
     import jax.numpy as jnp
     from fsw_gnn_tpu import FSWGNN, from_edge_index
     from fsw_gnn_tpu.serving import GraphServer, multi_envelope
+    from fsw_gnn_tpu.utils.cache import enable_compilation_cache
+
+    # the CSR executable at this envelope takes ~45+ min through the
+    # remote-compile tunnel; persist it so reruns measure, not compile
+    enable_compilation_cache()
 
     rng = np.random.default_rng(0)
 
