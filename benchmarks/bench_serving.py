@@ -109,12 +109,19 @@ def main():
         }), flush=True)
         assert srv.num_compiles() == 1
 
-    # numeric cross-check on the last request
+    # numeric cross-check on the last request.  Tolerance 5e-3, NOT f32
+    # eps: on TPU both paths' projection matmuls ride the MXU's DEFAULT
+    # f32 precision (bf16-pass decomposed -- the round-4 finding) with
+    # different decomposition orders (in-kernel _project vs XLA-side
+    # X @ proj), so they agree only to bf16 class (~1e-3 measured).  On
+    # CPU (true f32 matmuls) the same check holds at 5e-5
+    # (tests/test_serving.py); exact TPU agreement is available via
+    # jax.default_matmul_precision('highest') at an MXU cost.
     a = srv_multi.predict(*reqs[-1])
     b = srv_csr.predict(*reqs[-1])
     err = float(np.max(np.abs(a - b)) / (1e-6 + np.max(np.abs(b))))
     print(json.dumps({'cross_check_rel_err': f'{err:.2e}',
-                      'ok': err < 5e-5}), flush=True)
+                      'ok': err < 5e-3}), flush=True)
 
 
 if __name__ == '__main__':
