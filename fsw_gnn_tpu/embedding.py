@@ -101,19 +101,29 @@ def _device_kind() -> str:
 
 
 def _rank_rules() -> Optional[dict]:
-    """Crossover rules for the current device: autotune cache first
-    (utils/autotune.py, opt-in one-shot measurement), then the measured
-    table, then the FSW_ASSUME_V5E_RULES escape hatch; None = no rules
-    known -> 'auto' stays on the sort path."""
+    """Crossover rules for the current device: the hand-measured table
+    first, then the autotune cache (utils/autotune.py, opt-in one-shot
+    measurement), then the FSW_ASSUME_V5E_RULES escape hatch; None = no
+    rules known -> 'auto' stays on the sort path.
+
+    Precedence (round 4): the measured TABLE beats the autotune cache on
+    known generations -- the first end-to-end HW autotune produced
+    systematically conservative margins (its single-compile timing
+    includes per-call dispatch, compressing every ratio; e.g. cart B=32
+    measured 2.43x vs the dedicated differenced benchmark's 9.5x), so on
+    a kind we've benchmarked properly the cache would only ever WITHDRAW
+    kernels that are measured wins.  Autotune remains the path for
+    unknown generations, where a conservative crossover is the right
+    failure mode."""
     import os
     kind = _device_kind()
+    for known, rules in _RANK_RULES_BY_KIND.items():
+        if known in kind:
+            return rules
     from .utils.autotune import cached_rules
     cached = cached_rules(kind)
     if cached is not None:
         return cached
-    for known, rules in _RANK_RULES_BY_KIND.items():
-        if known in kind:
-            return rules
     if os.environ.get('FSW_ASSUME_V5E_RULES') == '1':
         return _RANK_RULES_BY_KIND['tpu v5 lite']
     return None
