@@ -149,3 +149,48 @@ def test_segcumsum_matmul_restart_precision():
     want = _oracle(vals.astype(np.float64), ids)
     second = slice(n // 2, None)
     np.testing.assert_allclose(got[second], want[second], rtol=1e-5)
+
+
+@pytest.mark.parametrize('n,nseg,rows', [
+    (128, 1, 8),           # single segment, single row
+    (1000, 37, 8),         # boundary mid-lane, padding tail
+    (8192, 100, 8),        # multiple blocks -> carry across tiles
+    (70000, 5, 64),        # long segments spanning many tiles
+    (4096, 4096, 8),       # every element its own segment
+])
+def test_segcumsum_boundary_mask_matches_oracle(n, nseg, rows):
+    """The boundary-mask kernel (round 4: 9 B/element stream, no
+    id-comparison layer, measured 3.0x in the uncapped regime) matches
+    the oracle AND the ids-driven matmul kernel across the same carry
+    scenarios."""
+    from fsw_gnn_tpu.ops.segcumsum_pallas import segment_boundaries
+    rng = np.random.default_rng(n + 29)
+    ids = np.sort(rng.integers(0, nseg, n)).astype(np.int32)
+    vals = np.abs(rng.standard_normal(n)).astype(np.float32)
+    m = segment_boundaries(jnp.asarray(ids))
+    got = segcumsum_pallas(jnp.asarray(vals), None,
+                           rows_per_block=rows, interpret=True,
+                           nonnegative=True, boundaries=m)
+    want = _oracle(vals.astype(np.float64), ids)
+    atol = 1e-4 if n // max(nseg, 1) > 4096 else 2e-5
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=atol)
+    ref = segcumsum_pallas(jnp.asarray(vals), jnp.asarray(ids),
+                           rows_per_block=rows, interpret=True,
+                           method='matmul', nonnegative=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_segcumsum_boundary_mask_max_seg_size():
+    from fsw_gnn_tpu.ops.segcumsum_pallas import segment_boundaries
+    rng = np.random.default_rng(78)
+    for seg_len in (1, 2, 5, 127, 128, 129, 256):
+        n = seg_len * 7
+        ids = np.repeat(np.arange(7, dtype=np.int32), seg_len)
+        vals = np.abs(rng.standard_normal(n)).astype(np.float32)
+        got = segcumsum_pallas(
+            jnp.asarray(vals), None, rows_per_block=8, interpret=True,
+            max_seg_size=seg_len, nonnegative=True,
+            boundaries=segment_boundaries(jnp.asarray(ids)))
+        want = _oracle(vals.astype(np.float64), ids)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
+                                   atol=2e-5, err_msg=f'seg_len={seg_len}')
