@@ -117,6 +117,16 @@ def main():
                 out_x, _ = timed(
                     lambda v, s: segment_cumsum(v, s, method='global'),
                     'xla_cumsum_minus_base_nonneg')
+        if 'mask' in variants:
+            # round-4 boundary-mask kernel: the int8 is_end mask is
+            # STATIC segment structure, precomputed outside the timed
+            # region (the production contract -- see segcumsum_pallas)
+            from fsw_gnn_tpu.ops.segcumsum_pallas import segment_boundaries
+            v = jnp.abs(v)
+            m = segment_boundaries(s)
+            out_p, _ = timed(lambda v, s, r=rows, m=m: segcumsum_pallas(
+                v, None, rows_per_block=r, nonnegative=True, boundaries=m),
+                f'pallas_mask_rows{rows}')
     if out_x is None:                        # kernel-only run: cross-check
         out_x = jax.jit(lambda v, s: segcumsum_pallas(v, s))(v, s)
     err = float(jnp.max(jnp.abs(out_x - out_p)) /

@@ -1,5 +1,15 @@
 """Probe: segcumsum matmul-method variants in the UNCAPPED regime.
 
+RETRACTION (round 4, after cross-checking against bench_segcumsum's
+differenced protocol): this probe's TIMING numbers do not reproduce --
+its ids-variant measured 2.35 ms where bench_segcumsum measures the same
+kernel at 0.63-0.73 ms, so the "mask 3x over ids" ratio reported from
+here is void (the honest mask advantage is 1.10-1.19x at long segments;
+see BENCH.md "Segmented cumsum" round-4).  The probe's CORRECTNESS
+results stand (they arbitrate against an f64 oracle and caught the MXU
+default-precision bf16 decomposition); keep it for accuracy checks, use
+bench_segcumsum for timing.
+
 Round-3 left the matmul formulation at 476 GB/s = 58% of HBM on 16M
 elements with segments > 128 (BENCH.md "Segmented cumsum"); the round-3
 verdict asked for the round-3 tail lessons to be applied back here.  Input

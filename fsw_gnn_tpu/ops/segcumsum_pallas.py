@@ -173,9 +173,13 @@ def _segcumsum_mask_kernel(v_ref, m_ref, out_ref, carry_v, carry_m,
 
     Takes an int8 is_end mask instead of int32 segment ids: 9 B/element
     of stream instead of 12, and the whole id-comparison layer
-    (in-kernel is_end, first/last extraction) drops out.  Measured 3.0x
-    over the ids kernel in the uncapped regime (16M elements, avg seg
-    256, max 2048: 0.78 vs 2.35 ms -- benchmarks/probe_segcumsum_fill).
+    (in-kernel is_end, first/last extraction) drops out.  Honest
+    benchmark (bench_segcumsum differenced protocol, 16M elements,
+    rows=1024, f32-exact precision): **1.10x** over the ids matmul
+    kernel and 1.19x over the scan at long segments (avg 4096, max
+    4326: 0.638 vs 0.702 / 0.757 ms); parity at max-seg ~600 (0.651 vs
+    0.63).  An earlier probe measured "3x" -- that was a harness
+    artifact in probe_segcumsum_fill's ids timing, retracted (BENCH.md).
     The leading-segment mask comes from an end-count prefix that rides
     the SAME triangular matmul (0/1 inputs, integer sums <= 128: exact
     even at default MXU precision).
@@ -302,7 +306,8 @@ def segment_boundaries(segment_ids: jax.Array) -> jax.Array:
     i is the LAST of its segment (the final element always is).  Compute
     once for a static segment structure and pass as `boundaries=` --
     the mask kernel then streams 9 B/element instead of 12 and skips the
-    id-comparison layer (measured 3.0x in the uncapped regime)."""
+    id-comparison layer (1.10-1.19x at long segments, see
+    _segcumsum_mask_kernel)."""
     n = segment_ids.shape[0]
     return jnp.concatenate([
         (segment_ids[1:] != segment_ids[:-1]),
@@ -357,9 +362,10 @@ def segcumsum_pallas(values: jax.Array, segment_ids: jax.Array,
     `boundaries`: optional int8 is_end mask (see `segment_boundaries`);
     when given (requires nonnegative=True) the boundary-mask matmul
     kernel runs instead -- 9 B/element of stream instead of 12 and no
-    id-comparison layer, measured 3.0x in the uncapped regime.  Pass it
-    when the segment structure is static (the mask is computed once);
-    `segment_ids` may then be None.
+    id-comparison layer; measured 1.10-1.19x at long segments, parity
+    below (see _segcumsum_mask_kernel).  Pass it when the segment
+    structure is static (the mask is computed once); `segment_ids` may
+    then be None.
     """
     n = values.shape[0]
     if boundaries is not None:
