@@ -160,7 +160,7 @@ def test_segcumsum_matmul_restart_precision():
 ])
 def test_segcumsum_boundary_mask_matches_oracle(n, nseg, rows):
     """The boundary-mask kernel (round 4: 9 B/element stream, no
-    id-comparison layer, measured 3.0x in the uncapped regime) matches
+    id-comparison layer, 1.10-1.19x at long segments) matches
     the oracle AND the ids-driven matmul kernel across the same carry
     scenarios."""
     from fsw_gnn_tpu.ops.segcumsum_pallas import segment_boundaries
