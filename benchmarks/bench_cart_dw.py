@@ -8,6 +8,10 @@ done-criterion: (1) the split backward COMPILES in minutes, (2) its grads
 match the XLA sort path on-device, (3) fwd+bwd timings vs with_dw=False and
 vs the sort path, to decide the aggregate='auto' rule.
 
+Protocol caveat: timings are UN-differenced (~2-3 ms/step dispatch RTT on
+every variant), so kernel-vs-sort ratios are COMPRESSED -- conservative
+for rule-fitting; see bench_cart_waste.py's caveat note.
+
 Run on TPU:  python benchmarks/bench_cart_dw.py
 """
 import json

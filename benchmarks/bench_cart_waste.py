@@ -1,5 +1,14 @@
 """Cartesian kernel-vs-sort crossover over the slice-axis lane waste.
 
+Protocol caveat (review finding, round 4): the timing below is
+UN-differenced -- ~2-3 ms/step of tunnel dispatch+readback RTT rides on
+every variant (STEPS=10 per call), so the kernel-vs-sort ratios are
+systematically COMPRESSED (the faster variant carries more relative
+overhead).  The waste_cart rule derived from these numbers is therefore
+conservative -- the true margins are higher -- which is the safe
+direction for an auto rule; an N-vs-1 differenced rep (bench.py's
+protocol) would sharpen it.
+
 The round-2 rule (waste_cart=1.2, i.e. kernel only near full 128 lanes)
 predates the round-3/4 trig campaign; bench_cart_dw.py (round 4) measured
 the kernel 7.2x over sort at S=128 INCLUDING weight grads, so the waste

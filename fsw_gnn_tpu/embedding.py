@@ -168,9 +168,13 @@ def _resolve_aggregate(aggregate: str, cfg, bucket_size: int,
     if cfg.cartesian_mode:
         # weights_grad=True is allowed through the split with_dw backward
         # (round-4 HW evidence: compiles in minutes, 7.2x over sort at
-        # S=128); its bucket cap is the stricter cap_dw until B > 32
-        # cartesian-with-dw compiles are measured
-        cap = rules['cap_nodw'] if not weights_grad else rules['cap_dw']
+        # S=128) -- but ONLY up to B=32, the sole bucket whose cartesian
+        # with_dw COMPILE has been measured: wider statically-unrolled
+        # loop combinations are this repo's documented compile-pathology
+        # class (>40 min / HTTP 413), so 'auto' must not gamble the
+        # default path on them
+        cap = rules['cap_nodw'] if not weights_grad else min(
+            rules['cap_dw'], 32)
         if bucket_size <= cap and waste <= rules['waste_cart']:
             return 'rank'
         return 'sort'
@@ -612,15 +616,21 @@ def bucket_quadrature(P: jax.Array, wn: jax.Array, pad_norm: jax.Array,
     P (R, B, S_blk): per-entry projections of one neighbor-table class;
     wn (R, B): normalized weights; pad_norm (R,): phantom-mass shift;
     f_block: (S_blk,) frequencies (or (S_blk, F) in cartesian mode).
-    `agg` is a RESOLVED backend: 'rank' (fused Pallas kernel, non-cartesian
-    only) or 'sort' (XLA bitonic + cumsum).  Returns (R, S_blk) (or
+    `agg` is a RESOLVED backend: 'rank' (fused Pallas kernel; the
+    cartesian variant shares one rank loop across all F frequencies) or
+    'sort' (XLA bitonic + cumsum).  Returns (R, S_blk) (or
     (R, S_blk, F)).  Shared by the single-device table path and the
     distributed slice-chunked overlap path (parallel/overlap.py).
     `uniform_w` declares row-constant weights (NeighborTable.uniform_w):
-    the non-cartesian rank kernel then computes its sin/cos(pi f w) chain
-    once per row (bit-identical results; no-op on the sort/cartesian
-    paths).
+    BOTH rank kernels (non-cartesian and cartesian) then compute the
+    sin/cos(pi f w) chain once per row (f64 bit-identical, f32 within
+    1-2 ulp; no-op on the sort path).  HONORED ONLY when
+    weights_grad=False: the flag is detected from the weights at table
+    BUILD time, so differentiated (trained) weights would make it stale
+    after the first update -- the gate keeps a weights_grad=True caller
+    correct even if its table was built from unit weights.
     """
+    uniform_w = uniform_w and not weights_grad
     if agg == 'rank':
         # fused Pallas kernel: weighted ranks replace sort+cumsum, the
         # quadrature and its backward stay VMEM-resident (f32 compute).
@@ -711,7 +721,9 @@ def fsw_embed_table(X: jax.Array,
                 [Xr, table.edge_feat.astype(Xr.dtype)], axis=-1)
         Z32 = Xr.astype(f32)
 
-    unif = bool(getattr(table, 'uniform_w', False))
+    # weights_grad gate: the static flag is stale once weights train
+    # (see bucket_quadrature's docstring)
+    unif = bool(getattr(table, 'uniform_w', False)) and not weights_grad
 
     def slices_block(proj_block, f_block):
         """proj_block: (S_blk, d_in+d_edge) slice vectors; f_block freqs."""

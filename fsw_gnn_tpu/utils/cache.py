@@ -48,11 +48,15 @@ class CountingJit:
     @staticmethod
     def _key(args):
         import jax
-        import jax.numpy as jnp
-        import numpy as np
         leaves, treedef = jax.tree_util.tree_flatten(args)
-        return treedef, tuple(
-            (np.shape(leaf), jnp.result_type(leaf).name) for leaf in leaves)
+        # full aval key incl. weak_type: a Python scalar and a
+        # strong-typed jnp scalar of the same shape/dtype compile to
+        # DIFFERENT executables; colliding them on one cached executable
+        # would raise instead of recompiling
+        def aval_key(leaf):
+            a = jax.core.get_aval(leaf)
+            return (a.shape, a.dtype.name, bool(a.weak_type))
+        return treedef, tuple(aval_key(leaf) for leaf in leaves)
 
     def __call__(self, *args):
         import jax

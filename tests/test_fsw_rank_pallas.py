@@ -510,6 +510,46 @@ def test_uniform_w_cart_parity():
                                    rtol=1e-12, atol=1e-14, err_msg=name)
 
 
+def test_uniform_w_gated_off_when_weights_differentiated():
+    """Review finding (round 4): NeighborTable.uniform_w is detected at
+    BUILD time, so if the weights are later trained/replaced the static
+    flag is stale.  bucket_quadrature / fsw_embed_table must therefore
+    honor it only under weights_grad=False; with weights_grad=True and
+    NON-uniform weights on a table whose flag (incorrectly) says
+    uniform, the rank path must still match the sort path exactly."""
+    import dataclasses
+    from fsw_gnn_tpu import (FSWConfig, from_edge_index, fsw_embed_table,
+                             to_neighbor_table)
+    rng = np.random.default_rng(31)
+    n, d = 24, 4
+    A = rng.random((n, n)) < 0.25
+    np.fill_diagonal(A, False)
+    src, dst = np.nonzero(A)
+    t = to_neighbor_table(from_edge_index(np.stack([src, dst]), n,
+                                          dtype=jnp.float64))
+    assert t.uniform_w                      # unit weights at build
+    # weights drift away from row-constant (what SGD on learnable
+    # weights does) -- the STATIC flag cannot know
+    w_new = np.asarray(t.weight) * (
+        1.0 + 0.5 * rng.random(np.asarray(t.weight).shape))
+    t = dataclasses.replace(t, weight=jnp.asarray(w_new))
+    assert t.uniform_w                      # stale by construction
+
+    cfg = FSWConfig(d_in=d, d_out=7, enable_bias=False)
+    proj = jnp.asarray(rng.standard_normal((cfg.nSlices, d)))
+    freqs = jnp.asarray(np.abs(rng.standard_normal(cfg.nFreqs)) + 0.1)
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    a = fsw_embed_table(X, t, proj, freqs, cfg, aggregate='sort',
+                        weights_grad=True)
+    b = fsw_embed_table(X, t, proj, freqs, cfg, aggregate='rank',
+                        weights_grad=True)
+    # f32-kernel-vs-f64-sort tolerance (as in the rank/sort parity
+    # tests); the ungated bug this guards produces O(1) errors (the row
+    # MAX substituted for every entry's weight)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_uniform_w_detection():
     """Host-side row-constant detection: unit adjacency detects True;
     gcn-normalized and mixed-weight tables detect False (safe fallback)."""
