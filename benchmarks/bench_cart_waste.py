@@ -112,10 +112,50 @@ def main():
                 out = run()
             readback(out)
             ms = (time.time() - t0) / (CALLS * STEPS) * 1e3
-            print(json.dumps({'S': S, 'waste': round(128 / S, 2),
-                              'variant': name,
-                              'compile_s': round(compile_s, 1),
-                              'fwd_bwd_ms': round(ms, 3)}), flush=True)
+            rec = {'S': S, 'waste': round(128 / S, 2), 'variant': name,
+                   'compile_s': round(compile_s, 1),
+                   'fwd_bwd_ms': round(ms, 3)}
+            if os.environ.get('CART_DIFF') == '1':
+                # N-vs-1 differencing cancels the per-call dispatch RTT
+                # (the review-noted conservative bias of the raw number)
+                import types
+                run1 = make_loop()
+                # rebuild with length=1: cheapest is a second jit whose
+                # scan length is 1
+                def make_loop1(grad=grad, argnums=argnums):
+                    def body(carry, _):
+                        Pc, wnc, padc, fqc = carry
+                        g2 = grad(Pc, wnc, padc, fqc)
+                        Pc = Pc + 1e-12 * g2[0]
+                        fqc = fqc + 1e-12 * g2[-1]
+                        if len(argnums) == 4:
+                            wnc = wnc + 1e-12 * g2[1]
+                            padc = padc + 1e-12 * g2[2]
+                        return (Pc, wnc, padc, fqc), None
+
+                    @jax.jit
+                    def run1():
+                        (Pc, _, _, _), _ = jax.lax.scan(
+                            body, (P, wn, pad, freqs), None, length=1)
+                        return jnp.ravel(Pc)[0]
+                    return run1
+                run1 = make_loop1()
+                readback(run1())                 # compile + drain
+                best = float('inf')
+                for _ in range(3):
+                    t0 = time.time()
+                    for _ in range(CALLS):
+                        out = run()
+                    readback(out)
+                    tn = time.time() - t0
+                    t0 = time.time()
+                    for _ in range(CALLS):
+                        out = run1()
+                    readback(out)
+                    t1 = time.time() - t0
+                    best = min(best, (tn - t1) / (CALLS * (STEPS - 1)))
+                rec['fwd_bwd_ms_differenced'] = round(best * 1e3, 3)
+            print(json.dumps(rec), flush=True)
 
 
 if __name__ == '__main__':
