@@ -42,3 +42,31 @@ def ensure_distributed(coordinator_address: Optional[str] = None,
 def global_mesh(axis_name: str = 'graph'):
     """1-D mesh over every addressable device across all processes."""
     return jax.make_mesh((len(jax.devices()),), (axis_name,))
+
+
+def make_global_array(x, mesh, spec):
+    """Assemble a process-spanning jax.Array from host-replicated data.
+
+    Every process holds the FULL `x` (the usual SPMD pattern for graph
+    metadata built deterministically on each host); each fills in only the
+    shards it can address.  `spec` is the PartitionSpec the jitted
+    shard_map expects for this argument.
+    """
+    import numpy as np
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def distribute_tree(tree, spec_tree, mesh):
+    """make_global_array over a pytree of (data, PartitionSpec) pairs.
+
+    spec_tree mirrors `tree` (static/aux fields excluded automatically by
+    tree_map); a leaf spec of P() replicates.  This is the multi-process
+    analogue of letting single-process jit auto-device_put numpy inputs:
+    with jax.process_count() > 1 the caller must construct global Arrays
+    explicitly before invoking a mesh-spanning jit.
+    """
+    return jax.tree_util.tree_map(
+        lambda x, s: make_global_array(x, mesh, s), tree, spec_tree)
