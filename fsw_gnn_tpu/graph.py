@@ -81,7 +81,8 @@ def from_edge_index(edge_index,
                     num_recipients: Optional[int] = None,
                     pad_to: Optional[int] = None,
                     pad_multiple: int = 128,
-                    dtype=jnp.float32) -> Graph:
+                    dtype=jnp.float32,
+                    as_numpy: bool = False) -> Graph:
     """Build a padded CSR `Graph` from a (2, E) edge index on the host.
 
     Semantics mirror `FSW_conv.edge_index_to_adj` (fsw_conv.py:384-447):
@@ -89,6 +90,10 @@ def from_edge_index(edge_index,
     weight `self_loop_weight`, duplicate-edge coalescing by summation,
     in-degree computation, and optional symmetric 'gcn' normalization
     D^{-1/2} A D^{-1/2} using in-degrees (fsw_conv.py:406-409).
+
+    as_numpy=True keeps every array a host numpy array (no device
+    transfer) -- the serving path builds request graphs host-side and
+    ships them as two packed buffers instead of one transfer per leaf.
     """
     assert edge_weighting in ('unit', 'gcn')
     edge_index = np.asarray(edge_index)
@@ -162,15 +167,22 @@ def from_edge_index(edge_index,
 
     src_order = np.argsort(src, kind='stable')
 
+    if as_numpy:
+        npdt = np.dtype(dtype)
+        conv_i = lambda a: np.asarray(a, np.int32)      # noqa: E731
+        conv_f = lambda a: np.asarray(a, npdt)          # noqa: E731
+    else:
+        conv_i = lambda a: jnp.asarray(a, jnp.int32)    # noqa: E731
+        conv_f = lambda a: jnp.asarray(a, dtype)        # noqa: E731
     return Graph(
-        src=jnp.asarray(src, jnp.int32),
-        dst=jnp.asarray(dst, jnp.int32),
-        weight=jnp.asarray(w, dtype),
-        row_ptr=jnp.asarray(row_ptr, jnp.int32),
-        in_degrees=jnp.asarray(in_deg, dtype),
-        edge_feat=None if ef is None else jnp.asarray(ef, dtype),
-        src_order=jnp.asarray(src_order, jnp.int32),
-        src_sorted=jnp.asarray(src[src_order], jnp.int32),
+        src=conv_i(src),
+        dst=conv_i(dst),
+        weight=conv_f(w),
+        row_ptr=conv_i(row_ptr),
+        in_degrees=conv_f(in_deg),
+        edge_feat=None if ef is None else conv_f(ef),
+        src_order=conv_i(src_order),
+        src_sorted=conv_i(src[src_order]),
         num_nodes=int(num_nodes),
         num_recipients=int(num_recipients),
         num_edges=int(E_real),
@@ -198,7 +210,14 @@ class NeighborTable:
     # positive weight (unit adjacency, weight-1 self-loops): the rank
     # kernel then computes the sin/cos(pi f w) chain once per ROW instead
     # of per entry (uniform_w fast path, ops/fsw_rank_pallas._trig).
-    # Detected host-side at table build; False is always safe.
+    # Detected host-side at table build; False is always safe.  STALENESS:
+    # this is static pytree metadata -- replacing `weight` afterwards
+    # (dataclasses.replace) with non-row-constant values while uniform_w
+    # stays True makes the kernel silently substitute each row's max
+    # weight; re-detect (graph._detect_uniform_w) or set uniform_w=False
+    # whenever weights are replaced outside the gradient path (the
+    # weights_grad=True training case is already gated off this flag in
+    # embedding.bucket_quadrature).
     uniform_w: bool = struct.field(pytree_node=False, default=False)
 
     @property
@@ -311,13 +330,15 @@ def degree_classes(max_deg: int, min_bucket: int = 8) -> list:
 
 def to_multi_table(graph: Graph, min_bucket: int = 8,
                    row_pad_multiple: int = 8,
-                   classes=None, class_rows=None) -> MultiTable:
+                   classes=None, class_rows=None,
+                   as_numpy: bool = False) -> MultiTable:
     """Convert a CSR `Graph` into a degree-bucketed `MultiTable`
     (host-side).
 
     `classes` / `class_rows` force the class structure and per-class padded
     row counts (used by the distributed partitioner so every shard's tables
-    stack into identical shapes)."""
+    stack into identical shapes).  as_numpy=True keeps host numpy arrays
+    (no device transfer; see from_edge_index)."""
     row_ptr = np.asarray(graph.row_ptr, np.int64)
     src = np.asarray(graph.src)
     w = np.asarray(graph.weight)
@@ -367,14 +388,16 @@ def to_multi_table(graph: Graph, min_bucket: int = 8,
         wt[lr, pos_e[sel]] = w[:E_real][sel]
         if eft is not None:
             eft[lr, pos_e[sel]] = ef[:E_real][sel]
+        conv = (lambda a: a) if as_numpy else jnp.asarray
         tables.append(NeighborTable(
-            idx=jnp.asarray(idx), weight=jnp.asarray(wt),
-            in_degrees=jnp.asarray(np.zeros(Rc, w.dtype)),
-            edge_feat=None if eft is None else jnp.asarray(eft),
+            idx=conv(idx), weight=conv(wt),
+            in_degrees=conv(np.zeros(Rc, w.dtype)),
+            edge_feat=None if eft is None else conv(eft),
             num_nodes=graph.num_nodes, num_recipients=Rc,
             num_edges=int(deg[rows].sum()),
             uniform_w=_detect_uniform_w(wt)))
-        row_ids.append(jnp.asarray(ids, jnp.int32))
+        row_ids.append(ids.astype(np.int32) if as_numpy
+                       else jnp.asarray(ids, jnp.int32))
 
     return MultiTable(tables=tuple(tables), row_ids=tuple(row_ids),
                       in_degrees=graph.in_degrees,

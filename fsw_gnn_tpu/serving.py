@@ -15,7 +15,6 @@ Production-deployment surface:
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import jax
@@ -135,6 +134,17 @@ class GraphServer:
     Requests are padded with isolated nodes (zero features, zero in-edges
     -> phantom-mass neighborhoods) and zero-weight edges, both exact
     no-ops for real outputs.
+
+    Transfer layout: request graphs are built entirely host-side (numpy)
+    and shipped as exactly TWO packed buffers -- one int32, one `dtype` --
+    unpacked on device by static XLA slices inside the compiled forward.
+    Per-request host->device transfers are therefore 3 (X + 2 buffers)
+    regardless of layout.  This matters on high-RTT links: the round-4
+    serving bench measured p50 ~= #buffers x RTT through the remote
+    tunnel, which inverted the MultiTable layout's 2.2x compute win
+    (~18 leaves) into a 7.4x end-to-end loss vs CSR (6 leaves).  It is
+    the serving analogue of the reference's pay-layout-cost-once
+    invariant (/root/reference/fsw_embedding.py:2269-2278).
     """
 
     def __init__(self, model, variables, max_nodes: int, max_edges: int,
@@ -147,26 +157,97 @@ class GraphServer:
         self.max_edges = int(max_edges)
         self.d_edge = int(d_edge)
         self.dtype = dtype
-        # pinned static uniform_w for request tables (see predict): the
+        # pinned static uniform_w for request tables (see _dispatch): the
         # per-request detected flag is data-dependent static metadata and
         # would fork the compile cache
         self.assume_uniform_w = bool(assume_uniform_w)
         self._fwd = CountingJit(
-            lambda variables, X, g: model.apply(variables, X, g))
+            lambda variables, X, ibuf, fbuf: model.apply(
+                variables, X, self._unpack_csr(ibuf, fbuf)))
         assert (classes is None) == (class_rows is None), (
             'pass classes and class_rows together (see multi_envelope)')
         self.classes = None if classes is None else list(classes)
         self.class_rows = None if class_rows is None else list(class_rows)
         self.fallbacks = 0          # requests that overflowed the envelope
+        self.uniform_w_fallbacks = 0   # assume_uniform_w requests that
+        #                                failed host verification (served
+        #                                correctly on the CSR path)
         if self.classes is not None:
             assert len(self.classes) == len(self.class_rows)
             self._fwd_multi = CountingJit(
-                lambda variables, X, mt: model.apply(variables, X, mt))
+                lambda variables, X, ibuf, fbuf: model.apply(
+                    variables, X, self._unpack_multi(ibuf, fbuf)))
 
     def _pad_graph(self, edge_index, edge_features=None) -> Graph:
+        """Host-side (numpy-leaf) padded CSR request graph -- no device
+        transfers happen until the packed buffers ship."""
         return from_edge_index(edge_index, self.max_nodes,
                                edge_features=edge_features,
-                               pad_to=self.max_edges, dtype=self.dtype)
+                               pad_to=self.max_edges, dtype=self.dtype,
+                               as_numpy=True)
+
+    # ---- packed transfer layout (host pack / in-jit unpack) -------------
+
+    def _pack_csr(self, g: Graph):
+        ibuf = np.concatenate([np.asarray(a) for a in (
+            g.src, g.dst, g.row_ptr, g.src_order,
+            g.src_sorted)]).astype(np.int32)
+        fparts = [np.asarray(g.weight), np.asarray(g.in_degrees)]
+        if self.d_edge:
+            fparts.append(np.ravel(np.asarray(g.edge_feat)))
+        fbuf = np.concatenate(fparts).astype(np.dtype(self.dtype))
+        return ibuf, fbuf
+
+    def _unpack_csr(self, ibuf, fbuf) -> Graph:
+        E, R, de = self.max_edges, self.max_nodes, self.d_edge
+        ef = (fbuf[E + R:E + R + E * de].reshape(E, de) if de else None)
+        return Graph(
+            src=ibuf[:E], dst=ibuf[E:2 * E],
+            weight=fbuf[:E],
+            row_ptr=ibuf[2 * E:2 * E + R + 1],
+            in_degrees=fbuf[E:E + R],
+            edge_feat=ef,
+            src_order=ibuf[2 * E + R + 1:3 * E + R + 1],
+            src_sorted=ibuf[3 * E + R + 1:4 * E + R + 1],
+            num_nodes=R, num_recipients=R, num_edges=E)
+
+    def _pack_multi(self, mt: MultiTable):
+        ibuf = np.concatenate(
+            [np.ravel(np.asarray(t.idx)) for t in mt.tables]
+            + [np.asarray(r) for r in mt.row_ids]).astype(np.int32)
+        fparts = [np.ravel(np.asarray(t.weight)) for t in mt.tables]
+        fparts.append(np.asarray(mt.in_degrees))
+        if self.d_edge:
+            fparts += [np.ravel(np.asarray(t.edge_feat))
+                       for t in mt.tables]
+        fbuf = np.concatenate(fparts).astype(np.dtype(self.dtype))
+        return ibuf, fbuf
+
+    def _unpack_multi(self, ibuf, fbuf) -> MultiTable:
+        R, de = self.max_nodes, self.d_edge
+        sizes = [rc * bc for rc, bc in zip(self.class_rows, self.classes)]
+        off = np.cumsum([0] + sizes)
+        tot = int(off[-1])
+        tables, row_ids = [], []
+        ro = tot
+        for ci, (rc, bc) in enumerate(zip(self.class_rows, self.classes)):
+            ef = None
+            if de:
+                efo = tot + R + int(off[ci]) * de
+                ef = fbuf[efo:efo + rc * bc * de].reshape(rc, bc, de)
+            tables.append(NeighborTable(
+                idx=ibuf[int(off[ci]):int(off[ci + 1])].reshape(rc, bc),
+                weight=fbuf[int(off[ci]):int(off[ci + 1])].reshape(rc, bc),
+                in_degrees=jnp.zeros((rc,), fbuf.dtype),
+                edge_feat=ef,
+                num_nodes=R, num_recipients=rc, num_edges=0,
+                uniform_w=self.assume_uniform_w))
+            row_ids.append(ibuf[ro:ro + rc])
+            ro += rc
+        return MultiTable(tables=tuple(tables), row_ids=tuple(row_ids),
+                          in_degrees=fbuf[tot:tot + R],
+                          num_nodes=R, num_recipients=R,
+                          num_edges=self.max_edges)
 
     def _fits_envelope(self, g: Graph) -> bool:
         row_ptr = np.asarray(g.row_ptr, np.int64)
@@ -230,27 +311,27 @@ class GraphServer:
         if self.classes is not None and self._fits_envelope(g):
             from .graph import to_multi_table
             mt = to_multi_table(g, classes=self.classes,
-                                class_rows=self.class_rows)
-            # num_edges AND uniform_w are static pytree aux data; both
-            # must be normalized so every request shares one jit cache
-            # entry.  uniform_w is DATA-DEPENDENT (a request with a
-            # duplicate edge coalesces to weight 2 -> non-uniform rows),
-            # so it is pinned to the server-level `assume_uniform_w`
-            # (default False = always correct; opt in only when every
-            # request is a simple unit-weight graph).  Caught live by the
-            # serving benchmark: per-request detection compiled a second
-            # executable mid-stream.
-            mt = dataclasses.replace(
-                mt, num_edges=self.max_edges,
-                tables=tuple(dataclasses.replace(
-                    t, num_edges=0, uniform_w=self.assume_uniform_w)
-                    for t in mt.tables))
-            out = self._fwd_multi(self.variables, X_dev, mt)
-        else:
-            if self.classes is not None:
-                self.fallbacks += 1
-            g = dataclasses.replace(g, num_edges=self.max_edges)
-            out = self._fwd(self.variables, X_dev, g)
+                                class_rows=self.class_rows, as_numpy=True)
+            # uniform_w is DATA-DEPENDENT static metadata (a request with
+            # a duplicate edge coalesces to weight 2 -> non-uniform rows);
+            # per-request detection would fork the compile cache, so the
+            # compiled executable uses the server-level pin
+            # `assume_uniform_w`.  When pinned True, VERIFY the host-side
+            # detection per request -- serving a non-uniform request
+            # through the uniform_w kernel would be silently wrong -- and
+            # route mismatches to the always-correct CSR executable.
+            if not self.assume_uniform_w or all(
+                    t.uniform_w for t in mt.tables):
+                ibuf, fbuf = self._pack_multi(mt)
+                out = self._fwd_multi(self.variables, X_dev,
+                                      jnp.asarray(ibuf), jnp.asarray(fbuf))
+                return out, N
+            self.uniform_w_fallbacks += 1
+        elif self.classes is not None:
+            self.fallbacks += 1
+        ibuf, fbuf = self._pack_csr(g)
+        out = self._fwd(self.variables, X_dev,
+                        jnp.asarray(ibuf), jnp.asarray(fbuf))
         return out, N
 
     def num_compiles(self) -> int:

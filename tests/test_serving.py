@@ -148,6 +148,46 @@ def test_graph_server_multi_fast_path():
     assert srv.num_compiles() == 2              # one per path
 
 
+def test_graph_server_assume_uniform_w_verified_per_request():
+    """assume_uniform_w=True must not serve wrong results: a request whose
+    coalesced weights are NOT row-constant (duplicate edge -> weight 2) is
+    detected host-side and routed to the CSR executable instead of the
+    pinned-uniform multi kernel."""
+    from fsw_gnn_tpu.serving import GraphServer, multi_envelope
+    rng = np.random.default_rng(13)
+    d_in, d_out = 5, 3
+    model = FSWGNN(in_channels=d_in, hidden_dims=(6, d_out),
+                   minimize_slice_coherence=False)
+    n0 = 24
+    ei0 = _random_graph(rng, n0)
+    g0 = from_edge_index(ei0, n0)
+    X0 = rng.standard_normal((n0, d_in)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X0), g0)
+
+    classes, class_rows = multi_envelope(g0, max_nodes=64)
+    srv = GraphServer(model, variables, max_nodes=64, max_edges=2048,
+                      classes=classes, class_rows=class_rows,
+                      assume_uniform_w=True)
+    ref = GraphServer(model, variables, max_nodes=64, max_edges=2048)
+
+    # clean unit-weight request: fast path
+    np.testing.assert_allclose(srv.predict(ei0, X0), ref.predict(ei0, X0),
+                               rtol=5e-5, atol=1e-5)
+    assert srv.uniform_w_fallbacks == 0
+    assert srv._fwd_multi.num_compiles == 1
+
+    # duplicate-edge request: uniform_w verification fails -> CSR, correct
+    r = np.random.default_rng(14)
+    ei_dup = _random_graph(r, 21)
+    ei_dup = np.concatenate([ei_dup, ei_dup[:, :1]], axis=1)
+    Xd = r.standard_normal((21, d_in)).astype(np.float32)
+    np.testing.assert_allclose(srv.predict(ei_dup, Xd),
+                               ref.predict(ei_dup, Xd),
+                               rtol=5e-5, atol=1e-5)
+    assert srv.uniform_w_fallbacks == 1
+    assert srv._fwd_multi.num_compiles == 1     # multi executable untouched
+
+
 def test_export_from_checkpoint(tmp_path):
     """Checkpoint directory -> artifact -> same logits as the live model."""
     from fsw_gnn_tpu.data import synthetic_planted_partition
