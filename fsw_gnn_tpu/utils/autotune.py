@@ -111,7 +111,7 @@ def derive_rules(margins: Dict[str, Dict[int, float]]) -> dict:
     return dict(
         cap_dw=cap_dw,
         cap_nodw=cap_nodw,
-        waste_cart=waste('cart', min(margins.get('cart', {32: None}))),
+        waste_cart=waste('cart', min(margins.get('cart') or {32: None})),
         # nodw tolerance from the WORST winning bucket (conservative)
         waste_nodw=round(max(1.0, min(
             [m for b, m in margins.get('nodw', {}).items()
@@ -119,6 +119,25 @@ def derive_rules(margins: Dict[str, Dict[int, float]]) -> dict:
         waste_dw_narrow=waste('dw', 32),
         waste_dw_wide=waste('dw', 64),
     )
+
+
+def _is_compile_error(e: Exception) -> bool:
+    """True for DETERMINISTIC compile/lowering failures (the config loses
+    by definition: Mosaic rejection, VMEM/register OOM, the remote
+    tunnel's ~100-200MB payload cap -> HTTP 413).  Transient transport
+    errors (connection reset/timeout/unavailable, a busy device) must NOT
+    be recorded as margin 0.0 -- that verdict is cached per device kind
+    and would permanently withhold a winning kernel."""
+    msg = f'{type(e).__name__}: {e}'.lower()
+    transient = ('unavailable', 'deadline', 'timed out', 'timeout',
+                 'connection reset', 'connection refused', 'broken pipe',
+                 'aborted', 'already in use', 'busy')
+    if any(k in msg for k in transient):
+        return False
+    compile_class = ('resource_exhausted', 'out of memory', 'oom', 'vmem',
+                     'mosaic', 'lower', 'unsupported', 'unimplemented',
+                     'invalid_argument', '413', 'payload')
+    return any(k in msg for k in compile_class)
 
 
 def _measure_margins(buckets=PROBE_BUCKETS, entries=PROBE_ENTRIES,
@@ -135,6 +154,7 @@ def _measure_margins(buckets=PROBE_BUCKETS, entries=PROBE_ENTRIES,
 
     rng = np.random.default_rng(0)
     margins = {'dw': {}, 'nodw': {}, 'cart': {}}
+    transient_failures = []
 
     def time_fn(loss, args):
         grad = jax.grad(loss)
@@ -188,37 +208,59 @@ def _measure_margins(buckets=PROBE_BUCKETS, entries=PROBE_ENTRIES,
                     # a config the kernel cannot COMPILE (e.g. the B=256
                     # with_dw backward's unrolled mask loop spills ~170 MB
                     # of registers -- round-4 VMEM OOM on v5e) loses by
-                    # definition: margin 0.0, keep measuring the rest
-                    try:
-                        ts[impl] = time_fn(loss, (P,))
-                    except Exception as e:  # noqa: BLE001 -- compiler errs
-                        print(json.dumps({
-                            'autotune': f'{mode} B={B}',
-                            'rank_compile_failed':
-                                type(e).__name__}), flush=True)
-                        ts[impl] = None
+                    # definition: margin 0.0.  A TRANSIENT failure
+                    # (tunnel hiccup, busy device) is retried once and
+                    # then SKIPPED -- never cached as a loss.
+                    for attempt in (0, 1):
+                        try:
+                            ts[impl] = time_fn(loss, (P,))
+                            break
+                        except Exception as e:  # noqa: BLE001
+                            if _is_compile_error(e):
+                                print(json.dumps({
+                                    'autotune': f'{mode} B={B}',
+                                    'rank_compile_failed':
+                                        type(e).__name__}), flush=True)
+                                ts[impl] = None
+                                break
+                            if attempt == 1:
+                                print(json.dumps({
+                                    'autotune': f'{mode} B={B}',
+                                    'transient_failure':
+                                        type(e).__name__}), flush=True)
+                                ts[impl] = 'transient'
                 else:
                     ts[impl] = time_fn(loss, (P,))
+            if ts['rank'] == 'transient':
+                transient_failures.append(f'{mode} B={B}')
+                continue                        # no verdict for this cell
             margins[mode][B] = (0.0 if ts['rank'] is None
                                 else ts['sort'] / ts['rank'])
             print(json.dumps({'autotune': f'{mode} B={B}',
                               'margin': round(margins[mode][B], 3)}),
                   flush=True)
-    return margins
+    return margins, transient_failures
 
 
 def autotune_rank_rules(write_cache: bool = True,
                         measure_fn=_measure_margins) -> dict:
     """Measure the crossover on the current chip and (optionally) cache it.
 
-    Returns the derived rules dict (embedding._rank_rules format)."""
+    Returns the derived rules dict (embedding._rank_rules format).  When
+    any probe cell failed TRANSIENTLY (after one retry), the rules are
+    still derived from the cells that did measure, but the cache is NOT
+    written -- an incomplete verdict must not become this machine's
+    permanent crossover table."""
     import jax
     kind = jax.devices()[0].device_kind.lower()
-    margins = measure_fn()
+    out = measure_fn()
+    margins, transient = out if isinstance(out, tuple) else (out, [])
     rules = derive_rules(margins)
     rules['source'] = 'autotune'
     rules['margins'] = {m: {str(b): round(v, 3) for b, v in d.items()}
                         for m, d in margins.items()}
-    if write_cache:
+    if transient:
+        rules['transient_failures'] = list(transient)
+    if write_cache and not transient:
         _write_cache(kind, rules)
     return rules

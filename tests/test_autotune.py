@@ -96,8 +96,40 @@ def test_autotune_end_to_end_with_fake_measurement(monkeypatch, tmp_path):
 def test_measure_margins_runs_on_cpu_tiny():
     """The real measurement harness executes end to end (tiny shapes, CPU
     interpret kernels) and returns finite positive margins."""
-    margins = AT._measure_margins(buckets=(8,), entries=64, s=8,
-                                  f_cart=2, steps=2, calls=1)
+    margins, transient = AT._measure_margins(buckets=(8,), entries=64, s=8,
+                                             f_cart=2, steps=2, calls=1)
+    assert transient == []
     for mode in ('dw', 'nodw', 'cart'):
         (b, m), = margins[mode].items()
         assert b == 8 and np.isfinite(m) and m > 0
+
+
+def test_transient_failure_skips_cache(monkeypatch, tmp_path):
+    """A transient (non-compile) probe failure must not be cached as a
+    margin-0 verdict: rules are returned but the cache file stays absent."""
+    monkeypatch.setenv('FSW_AUTOTUNE_CACHE', str(tmp_path / 'at.json'))
+
+    class FakeDev:
+        device_kind = 'TPU vY test'
+    import jax
+    monkeypatch.setattr(jax, 'devices', lambda: [FakeDev()])
+    rules = AT.autotune_rank_rules(
+        measure_fn=lambda: ({'dw': {32: 2.0}, 'nodw': {32: 3.0},
+                             'cart': {}}, ['cart B=32']))
+    assert rules['transient_failures'] == ['cart B=32']
+    assert rules['cap_dw'] == 32            # measured cells still derive
+    assert not (tmp_path / 'at.json').exists()
+
+
+def test_is_compile_error_classification():
+    assert AT._is_compile_error(RuntimeError(
+        'RESOURCE_EXHAUSTED: Ran out of memory in VMEM'))
+    assert AT._is_compile_error(RuntimeError(
+        'Mosaic failed to lower module'))
+    assert AT._is_compile_error(RuntimeError('HTTP 413 payload too large'))
+    assert not AT._is_compile_error(RuntimeError(
+        'UNAVAILABLE: connection reset by peer'))
+    assert not AT._is_compile_error(TimeoutError('request timed out'))
+    # a timeout mentioning memory in passing is still transient
+    assert not AT._is_compile_error(RuntimeError(
+        'DEADLINE_EXCEEDED while allocating vmem'))
