@@ -579,8 +579,23 @@ def fsw_embed_graph_batched(X: jax.Array,
     pytree whose array leaves carry a leading [G] axis -- build with
     `graph.stack_graphs`) and vmaps the single-graph CSR pipeline.
 
-    X: (G, n, d_in); returns (G, R, d_out).
+    X: (*batch, n, d_in); returns (*batch, R, d_out).  Arbitrary leading
+    batch dims are supported (the reference's multi-dim batch_dims with
+    sparse W): they must multiply out to the stacked graph count G and are
+    flattened around the vmapped pipeline.
     """
+    batch_shape = X.shape[:-2]
+    G = graphs.src.shape[0]
+    if len(batch_shape) != 1:
+        import math
+        assert math.prod(batch_shape) == G, (
+            f'leading batch dims {batch_shape} must multiply out to the '
+            f'stacked graph count {G}')
+        out = fsw_embed_graph_batched(
+            X.reshape((G,) + X.shape[-2:]), graphs, projVecs, freqs, cfg,
+            bias=bias, total_mass_scale=total_mass_scale,
+            slice_chunk=slice_chunk)
+        return out.reshape(batch_shape + out.shape[1:])
     def one(Xg, src, dst, w, rp, ef, so, ss):
         g = dataclasses.replace(
             graphs, src=src, dst=dst, weight=w, row_ptr=rp,

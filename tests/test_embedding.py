@@ -479,6 +479,44 @@ def test_batched_sparse_graph_mode():
                                    rtol=1e-10, atol=1e-12)
 
 
+def test_batched_sparse_graph_mode_multidim_batch():
+    """ndim>1 leading batch dims with sparse graphs (the reference accepts
+    multi-dim batch_dims with sparse W, fsw_embedding.py:598-757): a
+    (B1, B2) batch over B1*B2 stacked graphs equals the flat call."""
+    from fsw_gnn_tpu import fsw_embed_graph_batched, stack_graphs
+    rng = np.random.default_rng(17)
+    B1, B2, n, d_in, d_out = 2, 3, 16, 4, 5
+    G = B1 * B2
+    graphs = []
+    for _ in range(G):
+        A = rng.random((n, n)) < 0.3
+        np.fill_diagonal(A, False)
+        src, dst = np.nonzero(A)
+        graphs.append(from_edge_index(np.stack([src, dst]), n, pad_to=128,
+                                      dtype=jnp.float64))
+    X = jnp.asarray(rng.standard_normal((B1, B2, n, d_in)))
+
+    cfg = FSWConfig(d_in=d_in, d_out=d_out)
+    proj, freqs, bias = _rand_params(rng, cfg)
+
+    stacked = stack_graphs(graphs)
+    got = fsw_embed_graph_batched(X, stacked, jnp.asarray(proj),
+                                  jnp.asarray(freqs), cfg,
+                                  bias=jnp.asarray(bias))
+    flat = fsw_embed_graph_batched(X.reshape(G, n, d_in), stacked,
+                                   jnp.asarray(proj), jnp.asarray(freqs),
+                                   cfg, bias=jnp.asarray(bias))
+    assert got.shape == (B1, B2, n, flat.shape[-1])
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(flat).reshape(got.shape))
+
+    # a batch-shape/graph-count mismatch is rejected loudly
+    with pytest.raises(AssertionError):
+        fsw_embed_graph_batched(X[:, :2], stacked, jnp.asarray(proj),
+                                jnp.asarray(freqs), cfg,
+                                bias=jnp.asarray(bias))
+
+
 # ---------------------------------------------------------------------------
 # Multiset aggregate='rank': each multiset is one full-width neighborhood,
 # so small multisets route through the fused rank kernel.
