@@ -79,12 +79,18 @@ def speed_of_light_step(mt, n_slices: int, n_nodes: int, d_in: int):
                                'table_entries': entries}
 
 
-def main():
+def build(steps_per_call=None):
+    """Construct the benchmark workload; returns a dict with the jitted
+    `run_n` / `run_1` (in-scan step loops with a readback probe), the
+    initial (params, opt_state), the real edge count and the layout/graph.
+    Shared by main() and benchmarks/bench_repspread.py so variance
+    experiments time the EXACT headline program."""
     import jax
     import jax.numpy as jnp
     import optax
     from fsw_gnn_tpu import FSWConv, from_edge_index
 
+    steps_per_call = steps_per_call or STEPS_PER_CALL
     rng = np.random.default_rng(0)
     E = N_NODES * AVG_DEG
     src = rng.integers(0, N_NODES, E)
@@ -144,8 +150,19 @@ def main():
             return params, opt_state, probe
         return run
 
-    run_n = make_run(STEPS_PER_CALL)
+    run_n = make_run(steps_per_call)
     run_1 = make_run(1)
+    return dict(run_n=run_n, run_1=run_1, make_run=make_run,
+                params=params, opt_state=opt_state, E_real=E_real,
+                steps_per_call=steps_per_call, graph=g, layout=layout,
+                d_in=D_IN, d_out=D_OUT, n_nodes=N_NODES)
+
+
+def main():
+    b = build()
+    run_n, run_1 = b['run_n'], b['run_1']
+    params, opt_state, E_real = b['params'], b['opt_state'], b['E_real']
+    g, layout = b['graph'], b['layout']
 
     def timed(run, calls):
         p, s = params, opt_state

@@ -1,0 +1,138 @@
+"""Decompose GraphServer request latency: host build / H2D / exec / D2H.
+
+The round-5 packed layout cut per-request transfers from ~18 to 3
+(X + ibuf + fbuf) but sequential p50 only moved 562 -> ~420 ms while the
+pipelined mode reached ~25 req/s (~40 ms/req amortized) -- so ~380 ms of
+the sequential latency is per-request round-trip overhead that
+pipelining hides, not device execution.  This probe measures each stage
+in isolation on the SAME envelope/model as bench_serving:
+
+  build    host-side numpy: pad + fits + to_multi_table + pack
+  h2d      jnp.asarray of the three request buffers + readback barrier
+  exec     compiled forward on PRE-STAGED device inputs + 1-scalar D2H
+  d2h      np.asarray of the full (max_nodes, d_out) output
+  predict  the end-to-end GraphServer.predict call
+
+Run on TPU (after bench_serving, reusing its compile cache):
+    python benchmarks/probe_serving_budget.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+MAX_NODES = int(os.environ.get('SRV_MAX_NODES', 2048))
+MAX_EDGES = int(os.environ.get('SRV_MAX_EDGES', 32768))
+D_IN = int(os.environ.get('SRV_DIN', 64))
+D_OUT = int(os.environ.get('SRV_DOUT', 16))
+REPS = int(os.environ.get('SRV_REPS', 10))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from fsw_gnn_tpu import FSWGNN, from_edge_index
+    from fsw_gnn_tpu.graph import to_multi_table
+    from fsw_gnn_tpu.serving import GraphServer, multi_envelope
+    from fsw_gnn_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    rng = np.random.default_rng(0)
+
+    def req(n, avg=8):
+        E = n * avg
+        s, d = rng.integers(0, n, E), rng.integers(0, n, E)
+        k = s != d
+        return (np.stack([s[k], d[k]]),
+                rng.standard_normal((n, D_IN)).astype(np.float32))
+
+    ei0, X0 = req(MAX_NODES // 2)
+    g0 = from_edge_index(ei0, MAX_NODES // 2)
+    model = FSWGNN(in_channels=D_IN, hidden_dims=(64, D_OUT),
+                   minimize_slice_coherence=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X0), g0)
+    classes, class_rows = multi_envelope(g0, max_nodes=MAX_NODES)
+    srv = GraphServer(model, variables, MAX_NODES, MAX_EDGES,
+                      classes=classes, class_rows=class_rows)
+
+    ei, X = req(MAX_NODES // 2)
+
+    def stage_build():
+        g = srv._pad_graph(ei)
+        srv._fits_envelope(g)
+        mt = to_multi_table(g, classes=srv.classes,
+                            class_rows=srv.class_rows, as_numpy=True)
+        Xp = np.zeros((MAX_NODES, D_IN), np.float32)
+        Xp[:X.shape[0]] = X
+        ib, fb = srv._pack_multi(mt)
+        return Xp, ib, fb
+
+    Xp, ib, fb = stage_build()
+
+    def stage_h2d():
+        a = jnp.asarray(Xp)
+        b = jnp.asarray(ib)
+        c = jnp.asarray(fb)
+        # ONE readback depending on all three staged buffers
+        float(a[0, 0] + b[0].astype(a.dtype) + c[0])
+        return a, b, c
+
+    Xd, ibd, fbd = stage_h2d()
+    out = srv._fwd_multi(srv.variables, Xd, ibd, fbd)   # compile + stage
+    float(out[0, 0])
+
+    def stage_exec():
+        o = srv._fwd_multi(srv.variables, Xd, ibd, fbd)
+        float(o[0, 0])
+        return o
+
+    def stage_d2h():
+        np.asarray(out)
+
+    def stage_predict():
+        srv.predict(ei, X)
+
+    srv.predict(ei, X)                                  # drain
+
+    for name, fn in [('build', stage_build), ('h2d', stage_h2d),
+                     ('exec_1scalar', stage_exec), ('d2h_full', stage_d2h),
+                     ('predict_e2e', stage_predict)]:
+        fn()
+        ts = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        print(json.dumps({'stage': name,
+                          'p50_ms': round(ts[len(ts) // 2] * 1e3, 2),
+                          'min_ms': round(ts[0] * 1e3, 2),
+                          'max_ms': round(ts[-1] * 1e3, 2)}), flush=True)
+
+    # single-buffer variant: everything in ONE f32 H2D (ints bitcast)
+    one = np.concatenate([Xp.ravel(), fb, ib.view(np.float32)])
+
+    def stage_h2d_one():
+        a = jnp.asarray(one)
+        float(a[0])
+        return a
+
+    stage_h2d_one()
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        stage_h2d_one()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    print(json.dumps({'stage': 'h2d_single_buffer',
+                      'bytes': int(one.nbytes),
+                      'p50_ms': round(ts[len(ts) // 2] * 1e3, 2),
+                      'min_ms': round(ts[0] * 1e3, 2)}), flush=True)
+
+
+if __name__ == '__main__':
+    main()
