@@ -90,6 +90,11 @@ def main():
         float(o[0, 0])
         return o
 
+    def stage_exec_pipelined8():
+        os_ = [srv._fwd_multi(srv.variables, Xd, ibd, fbd)
+               for _ in range(8)]
+        float(os_[-1][0, 0])
+
     def stage_d2h():
         np.asarray(out)
 
@@ -99,7 +104,9 @@ def main():
     srv.predict(ei, X)                                  # drain
 
     for name, fn in [('build', stage_build), ('h2d', stage_h2d),
-                     ('exec_1scalar', stage_exec), ('d2h_full', stage_d2h),
+                     ('exec_1scalar', stage_exec),
+                     ('exec_pipelined8', stage_exec_pipelined8),
+                     ('d2h_full', stage_d2h),
                      ('predict_e2e', stage_predict)]:
         fn()
         ts = []

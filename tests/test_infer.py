@@ -75,6 +75,7 @@ def test_trainer_eval_node_chunk_matches_full(data):
     assert a == b
 
 
+@pytest.mark.slow
 def test_distributed_eval_matches_single_and_stays_sharded(data):
     """The distributed evaluate() reduces split accuracies on-device from
     sharded logits; its numbers must match the single-device evaluate()."""

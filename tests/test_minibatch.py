@@ -34,6 +34,7 @@ def test_minibatch_static_shapes_single_compile(data):
     assert tr._mb_step.num_compiles == 1
 
 
+@pytest.mark.slow
 def test_dp_minibatch_wave_matches_combined_gradient_step(data):
     """One DP wave (D per-device batches, psum-summed grads, global seed
     normalization) must equal ONE full-batch SGD step over the union of

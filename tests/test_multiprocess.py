@@ -23,6 +23,7 @@ SCRIPT = os.path.join(REPO, 'scripts', 'run_multiprocess_cpu.py')
 
 
 @pytest.mark.multiproc
+@pytest.mark.slow
 def test_two_process_distributed_train_and_checkpoint(tmp_path):
     env = dict(os.environ)
     env.pop('PALLAS_AXON_POOL_IPS', None)

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 
 from fsw_gnn_tpu import FSWGNN, auto_layout, from_edge_index
 from fsw_gnn_tpu.serving import load_forward, export_forward
+import pytest
 
 
 def test_export_roundtrip(tmp_path):
@@ -39,6 +40,7 @@ def _random_graph(rng, n, p=0.2):
     return np.stack([src, dst]).astype(np.int64)
 
 
+@pytest.mark.slow
 def test_graph_server_one_compile_many_graphs():
     """Differently-sized request graphs share one compiled executable and
     match the unpadded forward exactly."""

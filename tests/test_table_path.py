@@ -222,6 +222,7 @@ def test_rank_aggregate_matches_sort():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_rank_aggregate_multi_table_grads():
     """MultiTable with aggregate='rank': output + grads match 'sort'."""
     from fsw_gnn_tpu import fsw_embed_multi_table, to_multi_table

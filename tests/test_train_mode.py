@@ -82,6 +82,7 @@ def test_batchnorm_stats_update_and_eval_uses_them(small_graph):
     assert not np.allclose(np.asarray(eval_init), np.asarray(eval_updated))
 
 
+@pytest.mark.slow
 def test_trainer_batchnorm_updates_running_stats(data):
     tr = Trainer(data, TrainConfig(hidden_dims=(8, 8, data.num_classes)[:2],
                                    epochs=3, eval_every=10, batchnorm=True,
@@ -100,6 +101,7 @@ def test_trainer_batchnorm_updates_running_stats(data):
     assert np.isfinite(metrics['train_acc'])
 
 
+@pytest.mark.slow
 def test_trainer_dropout_regularizes(data):
     cfg = dict(hidden_dims=(16,), epochs=40, eval_every=40,
                learning_rate=2e-2, mlp_layers=2, seed=3)
@@ -115,6 +117,7 @@ def test_trainer_dropout_regularizes(data):
     assert out_drop['final']['train_acc'] > 0.8, out_drop
 
 
+@pytest.mark.slow
 def test_distributed_trainer_with_dropout_and_batchnorm(data):
     tr = Trainer(data, TrainConfig(hidden_dims=(8,), epochs=4, eval_every=10,
                                    dropout=0.3, batchnorm=True, mlp_layers=2,

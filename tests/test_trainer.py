@@ -101,6 +101,7 @@ def test_metrics_jsonl_export(data, tmp_path):
     assert 'final' in lines[-1]
 
 
+@pytest.mark.slow
 def test_reused_checkpoint_dir_overwrites_stale_same_step(data, tmp_path):
     """A previous run's entry with the same step number must be replaced,
     not skipped: save_checkpoint's already-on-disk shortcut is tracked
@@ -130,6 +131,7 @@ def test_reused_checkpoint_dir_overwrites_stale_same_step(data, tmp_path):
 
 
 @pytest.mark.parametrize('num_devices', [None, 8])
+@pytest.mark.slow
 def test_restore_rebuilds_train_step_with_restored_fixed(data, tmp_path,
                                                          num_devices):
     """The compiled train step closes over the fixed collections
@@ -153,6 +155,7 @@ def test_restore_rebuilds_train_step_with_restored_fixed(data, tmp_path,
     np.testing.assert_allclose(l2b, l1b, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_overlap_exchange_trainer_matches_all_gather(data):
     cfg = dict(hidden_dims=(8,), epochs=3, eval_every=10, seed=7,
                num_devices=8)
