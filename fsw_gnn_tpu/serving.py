@@ -139,12 +139,14 @@ class GraphServer:
     and shipped as exactly TWO packed buffers -- one int32, one `dtype` --
     unpacked on device by static XLA slices inside the compiled forward.
     Per-request host->device transfers are therefore 3 (X + 2 buffers)
-    regardless of layout.  This matters on high-RTT links: the round-4
-    serving bench measured p50 ~= #buffers x RTT through the remote
-    tunnel, which inverted the MultiTable layout's 2.2x compute win
-    (~18 leaves) into a 7.4x end-to-end loss vs CSR (6 leaves).  It is
-    the serving analogue of the reference's pay-layout-cost-once
-    invariant (/root/reference/fsw_embedding.py:2269-2278).
+    regardless of layout -- the serving analogue of the reference's
+    pay-layout-cost-once invariant
+    (/root/reference/fsw_embedding.py:2269-2278).  Every per-request
+    device op must also be REQUEST-SHAPE-INVARIANT: see `predict` for
+    the output-slice compile trap that dominated round 4's numbers.
+    Measured round 5 (BENCH.md "Online serving"): multi-envelope p50
+    40.3 ms vs CSR 66.2 through the remote tunnel -- the fast compute
+    layout wins end-to-end 1.64x.
     """
 
     def __init__(self, model, variables, max_nodes: int, max_edges: int,
@@ -264,9 +266,18 @@ class GraphServer:
         return bool(np.all(counts <= np.asarray(self.class_rows)))
 
     def predict(self, edge_index, features, edge_features=None) -> np.ndarray:
-        """edge_index (2, E), features (N, d_in); returns (N, out_dim)."""
+        """edge_index (2, E), features (N, d_in); returns (N, out_dim).
+
+        The request-sized slice happens on the HOST (np.asarray(out)[:N],
+        one fixed-shape D2H of the padded output), never on the device:
+        `out[:N]` with a request-dependent N would dispatch a distinct
+        tiny slice executable per distinct N -- measured ~400 ms of
+        remote-compile per fresh request size, which dominated every
+        fresh-size request and was misattributed to per-buffer transfer
+        RTTs in round 4 (the server whose path ran FIRST paid all the
+        slice compiles; the second reused them)."""
         out, N = self._dispatch(edge_index, features, edge_features)
-        return np.asarray(out[:N])
+        return np.asarray(out)[:N]
 
     def predict_many(self, requests, window: int = 16) -> list:
         """Pipelined batch: dispatch ahead of materialization.  XLA's
@@ -287,9 +298,9 @@ class GraphServer:
             pending.append(self._dispatch(*req))
             if len(pending) >= window:
                 out, N = pending.pop(0)
-                results.append(np.asarray(out[:N]))
+                results.append(np.asarray(out)[:N])
         for out, N in pending:
-            results.append(np.asarray(out[:N]))
+            results.append(np.asarray(out)[:N])
         return results
 
     def _dispatch(self, edge_index, features, edge_features=None):
