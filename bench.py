@@ -28,7 +28,13 @@ N_NODES = _env_int('FSW_BENCH_NODES', 8192)
 AVG_DEG = _env_int('FSW_BENCH_DEG', 16)
 D_IN = _env_int('FSW_BENCH_DIN', 64)
 D_OUT = _env_int('FSW_BENCH_DOUT', 64)
-STEPS_PER_CALL = _env_int('FSW_BENCH_STEPS', 20)
+# 60 (round 5): the rep spread is dispatch/readback RTT jitter in the
+# 1-step subtrahend (raw t_1 jitters +/-20%, t_n +/-2% -- bench_repspread
+# A/B); tripling the in-scan step count cut the differenced spread
+# 7.6% -> 4.6% with the median unchanged (68.06 vs 68.72 Meps), at ~1 s
+# of extra exec per rep.  Medians are protocol-stable; best-reps are
+# RTT-lucky draws, not harvestable performance.
+STEPS_PER_CALL = _env_int('FSW_BENCH_STEPS', 60)
 WARMUP_CALLS = _env_int('FSW_BENCH_WARMUP', 1)
 TIMED_CALLS = _env_int('FSW_BENCH_CALLS', 3)
 # median-of-N protocol (round-4): the remote tunnel adds ~+/-5% run-to-run
