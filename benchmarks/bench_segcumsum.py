@@ -124,9 +124,11 @@ def main():
             from fsw_gnn_tpu.ops.segcumsum_pallas import segment_boundaries
             v = jnp.abs(v)
             m = segment_boundaries(s)
+            prec = os.environ.get('FSW_SEGBENCH_PRECISION', 'highest')
             out_p, _ = timed(lambda v, s, r=rows, m=m: segcumsum_pallas(
-                v, None, rows_per_block=r, nonnegative=True, boundaries=m),
-                f'pallas_mask_rows{rows}')
+                v, None, rows_per_block=r, nonnegative=True, boundaries=m,
+                precision=prec),
+                f'pallas_mask_rows{rows}_{prec}')
     if out_x is None:                        # kernel-only run: cross-check
         out_x = jax.jit(lambda v, s: segcumsum_pallas(v, s))(v, s)
     err = float(jnp.max(jnp.abs(out_x - out_p)) /

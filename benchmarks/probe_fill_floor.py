@@ -64,7 +64,7 @@ def main():
     n_blocks = v.shape[0] // ROWS
 
     def kernel(v_ref, m_ref, out_ref, carry_v, carry_m, *, ablate,
-               max_seg_size, fill_passes=0):
+               max_seg_size, fill_passes=0, precision='highest'):
         """Ablatable copy of ops.segcumsum_pallas._segcumsum_mask_kernel
         (probe harness only -- the library kernel is the source of
         truth; this copy exists so stages can be cut without polluting
@@ -101,9 +101,30 @@ def main():
         ii = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
         tri = jnp.where(jj <= ii, jnp.ones((), vals.dtype),
                         jnp.zeros((), vals.dtype))
-        p_full = jax.lax.dot_general(
-            vals, tri, (((1,), (0,)), ((), ())),
-            preferred_element_type=vals.dtype, precision='highest')
+        if precision == 'bf16x3':
+            # the tri operand is EXACTLY bf16-representable (0/1), so a
+            # 3-term lossless bf16 split of vals (8+8+8 mantissa bits
+            # >= f32's 24) gives the full product in 3 native MXU
+            # passes instead of 'highest''s 6; per-pass f32
+            # accumulation, same error class as 'highest' (eps x
+            # in-row prefix).  Mosaic rejects precision=HIGH, hence
+            # the manual decomposition.
+            tri_b = tri.astype(jnp.bfloat16)
+            b0 = vals.astype(jnp.bfloat16)
+            r1 = vals - b0.astype(vals.dtype)
+            b1 = r1.astype(jnp.bfloat16)
+            b2 = (r1 - b1.astype(vals.dtype)).astype(jnp.bfloat16)
+            dims = (((1,), (0,)), ((), ()))
+            p_full = (jax.lax.dot_general(
+                b0, tri_b, dims, preferred_element_type=vals.dtype)
+                + jax.lax.dot_general(
+                    b1, tri_b, dims, preferred_element_type=vals.dtype)
+                + jax.lax.dot_general(
+                    b2, tri_b, dims, preferred_element_type=vals.dtype))
+        else:
+            p_full = jax.lax.dot_general(
+                vals, tri, (((1,), (0,)), ((), ())),
+                preferred_element_type=vals.dtype, precision=precision)
         cnt_incl = jax.lax.dot_general(
             is_end_f, tri, (((1,), (0,)), ((), ())),
             preferred_element_type=vals.dtype)
@@ -143,17 +164,18 @@ def main():
         carry_v[0] = scanned[rows - 1, LANES - 1]
         carry_m[0] = is_end_f[rows - 1, LANES - 1].astype(jnp.int32)
 
-    def build(ablate, fill_passes=0):
+    def build(ablate, fill_passes=0, rows=ROWS, precision='highest'):
         return pl.pallas_call(
             functools.partial(kernel, ablate=ablate,
                               max_seg_size=max_seg,
-                              fill_passes=fill_passes),
-            grid=(n_blocks,),
-            in_specs=[pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                              fill_passes=fill_passes,
+                              precision=precision),
+            grid=(v.shape[0] // rows,),
+            in_specs=[pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-                      pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                      pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
             scratch_shapes=[pltpu.SMEM((1,), v.dtype),
@@ -188,9 +210,36 @@ def main():
         return dt
 
     results = {}
-    for name, fp in [('io', 0), ('fill1', 1), ('fill7', 7),
-                     ('mxu_only', 0), ('nofill', 0), ('full', 0)]:
-        results[name] = timed(build(name, fp), name)
+    if os.environ.get('FSW_PROBE_PHASE', '1') == '1':
+        for name, fp in [('io', 0), ('fill1', 1), ('fill7', 7),
+                         ('mxu_only', 0), ('nofill', 0), ('full', 0)]:
+            results[name] = timed(build(name, fp), name)
+    else:
+        # phase 2: (a) precision='high' (3-pass bf16) for the value
+        # triangle -- the tri operand is EXACTLY bf16-representable
+        # (0/1), so fewer passes may already be f32-exact; verified
+        # ON HW against the 'highest' result, never in interpret mode
+        # (the round-4 MXU trap); (b) rows ladder for DMA/compute
+        # overlap (stage costs measured ADDITIVE at rows=1024).
+        full_hi = build('full', 0, ROWS, 'highest')
+        full_h = build('full', 0, ROWS, 'bf16x3')
+        a = full_hi(v, m)
+        b = full_h(v, m)
+        err = float(jnp.max(jnp.abs(a - b)))
+        rel = float(jnp.max(jnp.abs(a - b) / (1.0 + jnp.abs(a))))
+        print(json.dumps({'bf16x3_vs_highest_max_abs': err,
+                          'max_rel': rel, 'exact': err == 0.0}),
+              flush=True)
+        results['full_highest'] = timed(full_hi, 'full_highest')
+        results['full_bf16x3'] = timed(full_h, 'full_bf16x3')
+        for rows in (256, 512):
+            results[f'full_rows{rows}'] = timed(
+                build('full', 0, rows), f'full_rows{rows}')
+            results[f'io_rows{rows}'] = timed(
+                build('io', 0, rows), f'io_rows{rows}')
+        print(json.dumps({k: round(t * 1e3, 3)
+                          for k, t in results.items()}), flush=True)
+        return
 
     d = {k: results[k] * 1e3 for k in results}
     print(json.dumps({

@@ -91,6 +91,39 @@ def _affine_carry_scan(a, b, max_depth):
     return a
 
 
+def _tri_prefix_matmul(vals, tri, precision):
+    """Full in-row inclusive prefix via the triangular-ones matmul.
+
+    precision='highest': XLA's 6-pass f32 emulation (the scan-exact
+    default; see the round-4 HW finding below).  'bf16x3': a manual
+    3-term lossless bf16 split of `vals` (8+8+8 mantissa bits >= f32's
+    24; the tri operand is exactly bf16-representable), 3 native MXU
+    passes with f32 accumulation -- the SAME error class as 'highest'
+    (eps x in-row prefix; HW max rel diff 1.5e-5 = ~2*128*eps on N(0,1)
+    data).  Wall-clock on the 16M bench it is NEUTRAL (ABA runs scatter
+    both precisions across 0.45-0.53 ms; the MXU passes are not the
+    binding stage) -- it halves MXU occupancy, which only matters when
+    the surrounding program is MXU-saturated.  Exists because Mosaic
+    rejects precision=HIGH inside kernels.  'default' stays available
+    for bf16-class tolerance."""
+    dims = (((1,), (0,)), ((), ()))
+    if precision == 'bf16x3':
+        tri_b = tri.astype(jnp.bfloat16)
+        b0 = vals.astype(jnp.bfloat16)
+        r1 = vals - b0.astype(vals.dtype)
+        b1 = r1.astype(jnp.bfloat16)
+        b2 = (r1 - b1.astype(vals.dtype)).astype(jnp.bfloat16)
+        return (jax.lax.dot_general(
+            b0, tri_b, dims, preferred_element_type=vals.dtype)
+            + jax.lax.dot_general(
+                b1, tri_b, dims, preferred_element_type=vals.dtype)
+            + jax.lax.dot_general(
+                b2, tri_b, dims, preferred_element_type=vals.dtype))
+    return jax.lax.dot_general(vals, tri, dims,
+                               preferred_element_type=vals.dtype,
+                               precision=precision)
+
+
 def _row_segscan_matmul(vals, segs, max_stride, nonnegative,
                         precision='highest'):
     """Within-row segmented scan via the MXU (one-pass formulation).
@@ -121,10 +154,7 @@ def _row_segscan_matmul(vals, segs, max_stride, nonnegative,
     i = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
     tri = jnp.where(j <= i, jnp.ones((), vals.dtype),
                     jnp.zeros((), vals.dtype))
-    p_full = jax.lax.dot_general(
-        vals, tri, (((1,), (0,)), ((), ())),
-        preferred_element_type=vals.dtype,
-        precision=precision)                           # (ROWS, LANES)
+    p_full = _tri_prefix_matmul(vals, tri, precision)  # (ROWS, LANES)
 
     # ends of segments within the row: seg changes at the next lane
     next_s = jnp.concatenate(
@@ -204,9 +234,7 @@ def _segcumsum_mask_kernel(v_ref, m_ref, out_ref, carry_v, carry_m,
     ii = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
     tri = jnp.where(jj <= ii, jnp.ones((), vals.dtype),
                     jnp.zeros((), vals.dtype))
-    p_full = jax.lax.dot_general(
-        vals, tri, (((1,), (0,)), ((), ())),
-        preferred_element_type=vals.dtype, precision=precision)
+    p_full = _tri_prefix_matmul(vals, tri, precision)
     cnt_incl = jax.lax.dot_general(
         is_end_f, tri, (((1,), (0,)), ((), ())),
         preferred_element_type=vals.dtype)
@@ -357,7 +385,10 @@ def segcumsum_pallas(values: jax.Array, segment_ids: jax.Array,
     weights) lets 'matmul' use the running-max fill (~2.5x fewer VPU ops
     per doubling pass).  `precision` ('highest' default) controls the
     MXU triangle's f32 decomposition -- see _row_segscan_matmul's
-    round-4 HW finding before lowering it.
+    round-4 HW finding before lowering it.  'bf16x3' (round 5): 3
+    lossless-split MXU passes instead of 6 at the same
+    eps-x-in-row-prefix error class; wall-neutral on the standalone
+    bench, halves MXU occupancy (_tri_prefix_matmul).
 
     `boundaries`: optional int8 is_end mask (see `segment_boundaries`);
     when given (requires nonnegative=True) the boundary-mask matmul

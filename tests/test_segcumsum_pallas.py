@@ -194,3 +194,26 @@ def test_segcumsum_boundary_mask_max_seg_size():
         want = _oracle(vals.astype(np.float64), ids)
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
                                    atol=2e-5, err_msg=f'seg_len={seg_len}')
+
+
+@pytest.mark.parametrize('kind', ['mask', 'matmul'])
+def test_segcumsum_bf16x3_precision(kind):
+    """precision='bf16x3' (3 lossless-split MXU passes; round 5) keeps the
+    eps-x-in-row-prefix error class of 'highest' on both matmul kernels.
+
+    Interpret mode checks the DECOMPOSITION algebra only; the MXU-pass
+    behavior itself was validated on HW (probe_fill_floor phase 2:
+    max rel diff vs 'highest' 1.5e-5 ~ 2*128*eps at 16M elements)."""
+    from fsw_gnn_tpu.ops.segcumsum_pallas import segment_boundaries
+    rng = np.random.default_rng(91)
+    n, nseg = 8192, 40
+    ids = np.sort(rng.integers(0, nseg, n)).astype(np.int32)
+    vals = np.abs(rng.standard_normal(n)).astype(np.float32)
+    kw = (dict(boundaries=segment_boundaries(jnp.asarray(ids)),
+               segment_ids=None) if kind == 'mask'
+          else dict(segment_ids=jnp.asarray(ids), method='matmul'))
+    got = segcumsum_pallas(jnp.asarray(vals), rows_per_block=8,
+                           interpret=True, nonnegative=True,
+                           precision='bf16x3', **kw)
+    want = _oracle(vals.astype(np.float64), ids)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-5, atol=3e-5)
