@@ -140,6 +140,37 @@ def _worker(args) -> int:
     report['loss0_err'] = abs(losses[0] - want_loss0)
     report['want_loss0'] = want_loss0
 
+    # -- boundary-exchange variants across process boundaries -------------
+    # the same one-step SGD update must come out of the all_to_all and
+    # slice-chunked overlap transports when their collectives cross the
+    # process (gRPC) boundary, not just the in-process virtual mesh
+    shards_x = partition_graph(g, Pn, with_all_to_all=True)
+    spec_x = _shard_specs(shards_x)
+    (shards_xg,) = distribute_tree((shards_x,), (spec_x,), mesh)
+    exch_updates = {}
+    for exch in ('all_gather', 'all_to_all', 'overlap'):
+        step_x = make_distributed_train_step(model, opt, shards_x, mesh,
+                                             fixed_collections=fixed,
+                                             exchange=exch)
+        (p_dist, s_dist, _, X_dist, l_dist, m_dist) = distribute_tree(
+            (params, opt.init(params), shards_x, Xs, labels, mask),
+            (jax.tree_util.tree_map(lambda _: P(), params),
+             jax.tree_util.tree_map(lambda _: P(), opt.init(params)),
+             spec_x, P('graph'), P('graph'), P('graph')), mesh)
+        p_x, _, _, loss_x = step_x(p_dist, s_dist, {}, X_dist, shards_xg,
+                                   l_dist, m_dist, rng_key)
+        exch_updates[exch] = (
+            jax.tree_util.tree_map(
+                lambda a: np.asarray(jax.device_get(a)), p_x),
+            float(loss_x))
+    base_p, base_loss = exch_updates['all_gather']
+    for exch in ('all_to_all', 'overlap'):
+        pe, le = exch_updates[exch]
+        err = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda a, b: float(np.max(np.abs(a - b))), base_p, pe)))
+        report[f'{exch}_update_max_abs_diff'] = err
+        report[f'{exch}_loss_diff'] = abs(le - base_loss)
+
     # -- multi-host orbax checkpoint save/restore -------------------------
     import orbax.checkpoint as ocp
     ckpt_dir = os.path.join(args.ckpt_dir, 'state')
@@ -230,7 +261,9 @@ def _launch(args) -> int:
           and all(r['losses'] == r0['losses'] for r in reports)
           and r0['loss0_err'] < 1e-10
           and r0.get('grad_max_abs_err', 0.0) < 1e-8
-          and r0['ckpt_roundtrip_max_abs_err'] == 0.0)
+          and r0['ckpt_roundtrip_max_abs_err'] == 0.0
+          and r0['all_to_all_update_max_abs_diff'] < 1e-10
+          and r0['overlap_update_max_abs_diff'] < 1e-10)
     print(json.dumps({'ok': ok, 'processes': args.num_processes,
                       'global_devices': r0['global_devices'],
                       'losses': r0['losses'],
@@ -238,7 +271,11 @@ def _launch(args) -> int:
                       'grad_max_abs_err': r0.get('grad_max_abs_err'),
                       'ckpt_roundtrip_max_abs_err':
                           r0['ckpt_roundtrip_max_abs_err'],
-                      'loss_after_restore': r0['loss_after_restore']}))
+                      'loss_after_restore': r0['loss_after_restore'],
+                      'all_to_all_update_max_abs_diff':
+                          r0['all_to_all_update_max_abs_diff'],
+                      'overlap_update_max_abs_diff':
+                          r0['overlap_update_max_abs_diff']}))
     return 0 if ok else 1
 
 

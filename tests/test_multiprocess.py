@@ -40,3 +40,8 @@ def test_two_process_distributed_train_and_checkpoint(tmp_path):
     assert summary['loss0_err'] < 1e-10
     assert summary['grad_max_abs_err'] < 1e-8
     assert summary['ckpt_roundtrip_max_abs_err'] == 0.0
+    # the a2a and slice-chunked-overlap transports reproduce the
+    # all_gather SGD update with their collectives crossing the real
+    # process (gRPC) boundary
+    assert summary['all_to_all_update_max_abs_diff'] < 1e-10
+    assert summary['overlap_update_max_abs_diff'] < 1e-10
