@@ -168,13 +168,14 @@ def _resolve_aggregate(aggregate: str, cfg, bucket_size: int,
     if cfg.cartesian_mode:
         # weights_grad=True is allowed through the split with_dw backward
         # (round-4 HW evidence: compiles in minutes, 7.2x over sort at
-        # S=128) -- but ONLY up to B=32, the sole bucket whose cartesian
-        # with_dw COMPILE has been measured: wider statically-unrolled
-        # loop combinations are this repo's documented compile-pathology
-        # class (>40 min / HTTP 413), so 'auto' must not gamble the
-        # default path on them
+        # S=128).  Compile frontier MEASURED round 5
+        # (benchmarks/probe_cart_dw_frontier.py, R=8192 S=128 F=8):
+        # B=48 compiles in 172 s and runs 25.9 ms/step un-differenced
+        # (sort is ~100+ ms at this shape); B=64's Mosaic payload
+        # exceeds the remote-compile tunnel's hard limit (HTTP 413) --
+        # the cap is 48, a measurement, not an extrapolated fear
         cap = rules['cap_nodw'] if not weights_grad else min(
-            rules['cap_dw'], 32)
+            rules['cap_dw'], 48)
         if bucket_size <= cap and waste <= rules['waste_cart']:
             return 'rank'
         return 'sort'

@@ -177,3 +177,16 @@ def test_hw_cache_agrees_with_hand_table():
     # known kinds (embedding._rank_rules ordering)
     assert margins['dw'][64] < AT.SAFETY
     assert derived['cap_dw'] == 32 and hand['cap_dw'] == 64
+
+
+def test_cartesian_with_dw_cap_is_48(monkeypatch):
+    """The cartesian with_dw 'auto' cap cites the round-5 compile-frontier
+    measurement: B=48 compiles (172 s) and wins; B=64's Mosaic payload
+    exceeds the remote tunnel's hard limit (HTTP 413)."""
+    monkeypatch.setattr(E.jax, 'default_backend', lambda: 'tpu')
+    monkeypatch.setattr(E, '_device_kind', lambda: 'tpu v5 lite')
+    cart = FSWConfig(d_in=4, n_slices=128, n_freqs=8, enable_bias=False)
+    assert E._resolve_aggregate('auto', cart, 48) == 'rank'
+    assert E._resolve_aggregate('auto', cart, 64) == 'sort'
+    assert E._resolve_aggregate('auto', cart, 64,
+                                weights_grad=False) == 'rank'

@@ -282,9 +282,10 @@ def test_cart_forward_matches_xla(R, B, S, F, ties):
 
 @pytest.mark.parametrize('ties', [False, True])
 @pytest.mark.parametrize('with_dw', [True, False])
-def test_cart_backward_matches_xla(ties, with_dw):
+@pytest.mark.parametrize('B', [16, 48])   # 48 = the round-5 'auto' cap
+def test_cart_backward_matches_xla(ties, with_dw, B):
     rng = np.random.default_rng(12)
-    R, B, S, F = 7, 16, 10, 4
+    R, S, F = 7, 10, 4
     P, wn, pad, freqs = _rand_cart_args(rng, R, B, S, F, ties)
 
     def loss_k(P, wn, pad, freqs):
