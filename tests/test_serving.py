@@ -213,3 +213,45 @@ def test_export_from_checkpoint(tmp_path):
     fwd = load_forward(blob)
     np.testing.assert_allclose(np.asarray(fwd(tr.X)), want,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_graph_server_edge_features_packed_paths():
+    """Edge-featured requests flow through the packed buffers on BOTH
+    layouts (fbuf carries the raveled per-class/per-edge features) and
+    match the direct forward."""
+    from fsw_gnn_tpu.serving import GraphServer, multi_envelope
+    rng = np.random.default_rng(31)
+    d_in, d_e, d_out = 5, 3, 4
+    model = FSWGNN(in_channels=d_in, hidden_dims=(6, d_out),
+                   edgefeat_dim=d_e, minimize_slice_coherence=False)
+    n0 = 24
+    ei0 = _random_graph(rng, n0)
+    ef0 = rng.standard_normal((ei0.shape[1], d_e)).astype(np.float32)
+    g0 = from_edge_index(ei0, n0, edge_features=ef0)
+    X0 = rng.standard_normal((n0, d_in)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X0), g0)
+
+    classes, class_rows = multi_envelope(g0, max_nodes=48)
+    srv = GraphServer(model, variables, max_nodes=48, max_edges=1024,
+                      d_edge=d_e, classes=classes, class_rows=class_rows)
+    csr = GraphServer(model, variables, max_nodes=48, max_edges=1024,
+                      d_edge=d_e)
+    for seed, n in [(1, 24), (2, 17)]:
+        r = np.random.default_rng(seed)
+        ei = _random_graph(r, n)
+        ef = r.standard_normal((ei.shape[1], d_e)).astype(np.float32)
+        X = r.standard_normal((n, d_in)).astype(np.float32)
+        want = np.asarray(model.apply(
+            variables, jnp.asarray(X),
+            from_edge_index(ei, n, edge_features=ef)))
+        got_m = srv.predict(ei, X, edge_features=ef)
+        got_c = csr.predict(ei, X, edge_features=ef)
+        np.testing.assert_allclose(got_m, want, rtol=5e-5, atol=1e-5)
+        np.testing.assert_allclose(got_c, want, rtol=5e-5, atol=1e-5)
+    assert srv.fallbacks == 0
+    assert srv._fwd_multi.num_compiles == 1
+    assert csr._fwd.num_compiles == 1
+
+    # presence mismatch is rejected loudly
+    with pytest.raises(ValueError):
+        srv.predict(ei0, X0)
