@@ -265,6 +265,34 @@ class GraphServer:
         counts = np.bincount(cls_of, minlength=len(self.classes))
         return bool(np.all(counts <= np.asarray(self.class_rows)))
 
+    def warmup(self, d_in: int) -> int:
+        """Compile every executable this server can route to, BEFORE
+        serving traffic.  Without this the CSR program -- the fallback
+        for envelope-overflowing requests -- compiles lazily on the
+        first such request, a 20-45 MINUTE stall mid-stream on
+        tunnel-class links (BENCH.md 'Online serving').  `d_in` must be
+        the real traffic's feature width (executables are keyed on it).
+        Dispatches one synthetic request through each path (a star graph
+        overflows any degree-class envelope, forcing the CSR route);
+        returns the number of compiles performed.  Combine with
+        `utils.enable_compilation_cache` so restarts pay ~nothing."""
+        before = self.num_compiles()
+        X1 = np.zeros((1, d_in), np.float32)
+        ef = (np.zeros((1, self.d_edge), np.float32) if self.d_edge
+              else None)
+        self.predict(np.zeros((2, 1), np.int64), X1, edge_features=ef)
+        if self.classes is not None:
+            d = min(self.max_nodes - 1, self.max_edges)
+            hub = np.zeros(d, np.int64)
+            spokes = np.arange(1, d + 1, dtype=np.int64)
+            efs = (np.zeros((d, self.d_edge), np.float32) if self.d_edge
+                   else None)
+            Xs = np.zeros((d + 1, d_in), np.float32)
+            fb = self.fallbacks
+            self.predict(np.stack([spokes, hub]), Xs, edge_features=efs)
+            self.fallbacks = fb                 # synthetic, don't count
+        return self.num_compiles() - before
+
     def predict(self, edge_index, features, edge_features=None) -> np.ndarray:
         """edge_index (2, E), features (N, d_in); returns (N, out_dim).
 

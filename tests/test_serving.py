@@ -255,3 +255,38 @@ def test_graph_server_edge_features_packed_paths():
     # presence mismatch is rejected loudly
     with pytest.raises(ValueError):
         srv.predict(ei0, X0)
+
+
+def test_graph_server_warmup_compiles_both_paths():
+    """warmup(d_in) compiles the multi AND the CSR-fallback executables
+    before traffic; subsequent requests on either path add no compiles."""
+    from fsw_gnn_tpu.serving import GraphServer, multi_envelope
+    rng = np.random.default_rng(41)
+    d_in, d_out = 5, 3
+    model = FSWGNN(in_channels=d_in, hidden_dims=(6, d_out),
+                   minimize_slice_coherence=False)
+    n0 = 24
+    ei0 = _random_graph(rng, n0)
+    g0 = from_edge_index(ei0, n0)
+    X0 = rng.standard_normal((n0, d_in)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X0), g0)
+
+    classes, class_rows = multi_envelope(g0, max_nodes=64)
+    srv = GraphServer(model, variables, max_nodes=64, max_edges=2048,
+                      classes=classes, class_rows=class_rows)
+    n_compiles = srv.warmup(d_in)
+    assert n_compiles == 2 and srv.num_compiles() == 2
+    assert srv.fallbacks == 0
+
+    # traffic on both paths: zero new compiles
+    srv.predict(ei0, X0)                            # multi
+    star_n = 50
+    ei_star = np.stack([np.arange(1, star_n, dtype=np.int64),
+                        np.zeros(star_n - 1, np.int64)])
+    srv.predict(ei_star, np.zeros((star_n, d_in), np.float32))  # CSR
+    assert srv.num_compiles() == 2
+    assert srv.fallbacks == 1
+
+    # CSR-only server: one executable
+    csr = GraphServer(model, variables, max_nodes=64, max_edges=2048)
+    assert csr.warmup(d_in) == 1
