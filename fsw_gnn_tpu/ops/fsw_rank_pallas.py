@@ -467,6 +467,15 @@ def _block_specs(tr, B_pad, S_pad):
 
 
 def _compiler_params():
+    import os
+    if os.environ.get('FSW_RANK_PARALLEL_GRID') == '1':
+        # experiment knob: declare the row-tile grid parallel (it is --
+        # no cross-tile carry).  On single-core v5e this changes Mosaic
+        # scheduling hints only; measured neutral on the headline
+        # (see BENCH.md round-5), kept as a knob for multi-core parts.
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(),
+            dimension_semantics=('parallel',))
     return pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit())
 
 
