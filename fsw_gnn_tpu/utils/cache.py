@@ -40,10 +40,15 @@ class CountingJit:
     """
 
     def __init__(self, fn, **jit_kwargs):
+        import threading
         self._fn = fn
         self._jit_kwargs = jit_kwargs
         self._cache = {}
         self.num_compiles = 0       # monotone; += 1 per real compile
+        # multithreaded serving: two threads racing a cold key must not
+        # both compile (double-counts AND doubles a minutes-long remote
+        # compile); executions themselves run outside the lock
+        self._lock = threading.Lock()
 
     @staticmethod
     def _key(args):
@@ -63,10 +68,14 @@ class CountingJit:
         key = self._key(args)
         exe = self._cache.get(key)
         if exe is None:
-            exe = jax.jit(self._fn,
-                          **self._jit_kwargs).lower(*args).compile()
-            self._cache[key] = exe
-            self.num_compiles += 1
+            with self._lock:
+                exe = self._cache.get(key)
+                if exe is None:
+                    exe = jax.jit(
+                        self._fn,
+                        **self._jit_kwargs).lower(*args).compile()
+                    self._cache[key] = exe
+                    self.num_compiles += 1
         return exe(*args)
 
 

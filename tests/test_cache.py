@@ -52,3 +52,33 @@ def test_counting_jit_monotone_and_deterministic():
     x = jnp.ones((16,))
     h(x)
     assert h.num_compiles == 1 and x.is_deleted()
+
+
+def test_counting_jit_thread_safe_cold_key():
+    """Two threads racing a cold key compile ONCE (double-checked lock):
+    a second compile would double-count and, in production, double a
+    minutes-long remote compile."""
+    import threading
+    import jax.numpy as jnp
+    from fsw_gnn_tpu.utils.cache import CountingJit
+
+    def slow_fn(x):
+        return x * 2.0
+
+    cj = CountingJit(slow_fn)
+    xs = jnp.arange(8, dtype=jnp.float32)
+    barrier = threading.Barrier(4)
+    outs = [None] * 4
+
+    def worker(i):
+        barrier.wait()
+        outs[i] = cj(xs)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert cj.num_compiles == 1
+    for o in outs:
+        assert float(o[3]) == 6.0
