@@ -136,17 +136,22 @@ class GraphServer:
     no-ops for real outputs.
 
     Transfer layout: request graphs are built entirely host-side (numpy)
-    and shipped as exactly TWO packed buffers -- one int32, one `dtype` --
-    unpacked on device by static XLA slices inside the compiled forward.
-    Per-request host->device transfers are therefore 3 (X + 2 buffers)
-    regardless of layout -- the serving analogue of the reference's
-    pay-layout-cost-once invariant
-    (/root/reference/fsw_embedding.py:2269-2278).  Every per-request
-    device op must also be REQUEST-SHAPE-INVARIANT: see `predict` for
-    the output-slice compile trap that dominated round 4's numbers.
-    Measured round 5 (BENCH.md "Online serving"): multi-envelope p50
-    40.3 ms vs CSR 66.2 through the remote tunnel -- the fast compute
-    layout wins end-to-end 1.64x.
+    and shipped packed -- for 4-byte `dtype`s (the f32 default) as ONE
+    int32 buffer carrying [graph ints | graph floats (bit-view) |
+    X (bit-view)], bitcast + sliced back by static XLA ops inside the
+    compiled forward, so a request costs exactly 1 host->device transfer
+    + 1 device->host readback.  (Non-4-byte dtypes, e.g. bf16, use the
+    earlier 3-transfer layout: X + int buffer + dtype buffer.)  This is
+    the serving analogue of the reference's pay-layout-cost-once
+    invariant (/root/reference/fsw_embedding.py:2269-2278): on
+    tunnel-class links each buffer costs a ~12 ms RTT, so buffer count
+    IS the latency floor.  Every per-request device op must also be
+    REQUEST-SHAPE-INVARIANT: see `predict` for the output-slice compile
+    trap that dominated round 4's numbers.  Measured round 5 (BENCH.md
+    "Online serving"): multi-envelope p50 40.3 ms vs CSR 66.2 through
+    the remote tunnel with the 3-transfer layout -- the fast compute
+    layout wins end-to-end 1.64x; the single-buffer layout removes two
+    more RTTs from both paths.
     """
 
     def __init__(self, model, variables, max_nodes: int, max_edges: int,
@@ -163,9 +168,23 @@ class GraphServer:
         # per-request detected flag is data-dependent static metadata and
         # would fork the compile cache
         self.assume_uniform_w = bool(assume_uniform_w)
-        self._fwd = CountingJit(
-            lambda variables, X, ibuf, fbuf: model.apply(
-                variables, X, self._unpack_csr(ibuf, fbuf)))
+        # single-buffer transfer layout needs bit-width-preserving views
+        # between the graph floats / X and the int32 carrier
+        self._single_buffer = np.dtype(self.dtype).itemsize == 4
+        E, R, de = self.max_edges, self.max_nodes, self.d_edge
+        self._li_csr = 4 * E + R + 1            # src,dst,row_ptr,order,sorted
+        self._lf_csr = E + R + E * de           # weight,in_degrees,edge_feat
+        if self._single_buffer:
+            self._fwd = CountingJit(
+                lambda variables, buf: model.apply(
+                    variables, self._unpack_x(buf, self._li_csr,
+                                              self._lf_csr),
+                    self._unpack_csr(*self._split(buf, self._li_csr,
+                                                  self._lf_csr))))
+        else:
+            self._fwd = CountingJit(
+                lambda variables, X, ibuf, fbuf: model.apply(
+                    variables, X, self._unpack_csr(ibuf, fbuf)))
         assert (classes is None) == (class_rows is None), (
             'pass classes and class_rows together (see multi_envelope)')
         self.classes = None if classes is None else list(classes)
@@ -176,9 +195,22 @@ class GraphServer:
         #                                correctly on the CSR path)
         if self.classes is not None:
             assert len(self.classes) == len(self.class_rows)
-            self._fwd_multi = CountingJit(
-                lambda variables, X, ibuf, fbuf: model.apply(
-                    variables, X, self._unpack_multi(ibuf, fbuf)))
+            tot = sum(rc * bc for rc, bc in zip(self.class_rows,
+                                                self.classes))
+            rows = sum(self.class_rows)
+            self._li_multi = tot + rows         # per-class idx + row_ids
+            self._lf_multi = tot + R + tot * de # weights,in_degrees,edge_feat
+            if self._single_buffer:
+                self._fwd_multi = CountingJit(
+                    lambda variables, buf: model.apply(
+                        variables, self._unpack_x(buf, self._li_multi,
+                                                  self._lf_multi),
+                        self._unpack_multi(*self._split(buf, self._li_multi,
+                                                        self._lf_multi))))
+            else:
+                self._fwd_multi = CountingJit(
+                    lambda variables, X, ibuf, fbuf: model.apply(
+                        variables, X, self._unpack_multi(ibuf, fbuf)))
 
     def _pad_graph(self, edge_index, edge_features=None) -> Graph:
         """Host-side (numpy-leaf) padded CSR request graph -- no device
@@ -189,6 +221,23 @@ class GraphServer:
                                as_numpy=True)
 
     # ---- packed transfer layout (host pack / in-jit unpack) -------------
+
+    def _pack_all(self, ibuf, fbuf, Xp) -> np.ndarray:
+        """Single int32 carrier: [ints | float bits | X bits].  Bit views
+        are exact (no value conversion anywhere on the wire)."""
+        return np.concatenate([ibuf, fbuf.view(np.int32),
+                               np.ravel(Xp).view(np.int32)])
+
+    def _split(self, buf, li, lf):
+        """In-jit inverse of `_pack_all` for the graph part: static
+        slices + same-width bitcasts (request-shape-invariant)."""
+        ibuf = buf[:li]
+        fbuf = jax.lax.bitcast_convert_type(buf[li:li + lf], self.dtype)
+        return ibuf, fbuf
+
+    def _unpack_x(self, buf, li, lf):
+        X = jax.lax.bitcast_convert_type(buf[li + lf:], self.dtype)
+        return X.reshape(self.max_nodes, -1)
 
     def _pack_csr(self, g: Graph):
         ibuf = np.concatenate([np.asarray(a) for a in (
@@ -343,10 +392,10 @@ class GraphServer:
             raise ValueError(f'{E} edges > server envelope {self.max_edges}')
         if (edge_features is None) != (self.d_edge == 0):
             raise ValueError('edge_features presence must match d_edge')
-        Xp = np.zeros((self.max_nodes, features.shape[1]), np.float32)
+        Xp = np.zeros((self.max_nodes, features.shape[1]),
+                      np.dtype(self.dtype))
         Xp[:N] = features
         g = self._pad_graph(edge_index, edge_features)
-        X_dev = jnp.asarray(Xp, self.dtype)
         if self.classes is not None and self._fits_envelope(g):
             from .graph import to_multi_table
             mt = to_multi_table(g, classes=self.classes,
@@ -362,16 +411,21 @@ class GraphServer:
             if not self.assume_uniform_w or all(
                     t.uniform_w for t in mt.tables):
                 ibuf, fbuf = self._pack_multi(mt)
-                out = self._fwd_multi(self.variables, X_dev,
-                                      jnp.asarray(ibuf), jnp.asarray(fbuf))
+                out = self._call(self._fwd_multi, ibuf, fbuf, Xp)
                 return out, N
             self.uniform_w_fallbacks += 1
         elif self.classes is not None:
             self.fallbacks += 1
         ibuf, fbuf = self._pack_csr(g)
-        out = self._fwd(self.variables, X_dev,
-                        jnp.asarray(ibuf), jnp.asarray(fbuf))
+        out = self._call(self._fwd, ibuf, fbuf, Xp)
         return out, N
+
+    def _call(self, fwd, ibuf, fbuf, Xp):
+        if self._single_buffer:
+            return fwd(self.variables,
+                       jnp.asarray(self._pack_all(ibuf, fbuf, Xp)))
+        return fwd(self.variables, jnp.asarray(Xp, self.dtype),
+                   jnp.asarray(ibuf), jnp.asarray(fbuf))
 
     def num_compiles(self) -> int:
         """Total real XLA compiles across both paths (1 after any number

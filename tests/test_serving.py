@@ -290,3 +290,68 @@ def test_graph_server_warmup_compiles_both_paths():
     # CSR-only server: one executable
     csr = GraphServer(model, variables, max_nodes=64, max_edges=2048)
     assert csr.warmup(d_in) == 1
+
+
+def test_graph_server_bf16_legacy_transfer_layout():
+    """Non-4-byte dtypes cannot ride the single-buffer bit-view layout;
+    the server must fall back to the 3-transfer path and still serve
+    correct (bf16-class) results with one compile."""
+    from fsw_gnn_tpu.serving import GraphServer
+    rng = np.random.default_rng(11)
+    d_in, d_out = 5, 3
+    model = FSWGNN(in_channels=d_in, hidden_dims=(6, d_out),
+                   minimize_slice_coherence=False)
+    n0 = 16
+    ei0 = _random_graph(rng, n0)
+    X0 = rng.standard_normal((n0, d_in)).astype(np.float32)
+    g0 = from_edge_index(ei0, n0)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X0), g0)
+
+    srv = GraphServer(model, variables, max_nodes=32, max_edges=256,
+                      dtype=jnp.bfloat16)
+    assert not srv._single_buffer
+    for seed, n in [(1, 16), (2, 25)]:
+        r = np.random.default_rng(seed)
+        ei = _random_graph(r, n)
+        X = r.standard_normal((n, d_in)).astype(np.float32)
+        got = srv.predict(ei, X)
+        want = np.asarray(model.apply(variables, jnp.asarray(X),
+                                      from_edge_index(ei, n)))
+        assert got.shape == (n, d_out)
+        # bf16 graph weights + features: class-level tolerance
+        np.testing.assert_allclose(got.astype(np.float32), want,
+                                   rtol=5e-2, atol=5e-2)
+    assert srv.num_compiles() == 1
+
+
+def test_single_buffer_pack_is_bit_exact():
+    """The int32 carrier's float bit-views must roundtrip exactly --
+    including NaN/inf/denormal weight patterns that a value conversion
+    would disturb."""
+    from fsw_gnn_tpu.serving import GraphServer
+    rng = np.random.default_rng(12)
+    d_in = 4
+    model = FSWGNN(in_channels=d_in, hidden_dims=(4, 2),
+                   minimize_slice_coherence=False)
+    n0 = 12
+    ei0 = _random_graph(rng, n0)
+    g0 = from_edge_index(ei0, n0)
+    X0 = rng.standard_normal((n0, d_in)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X0), g0)
+    srv = GraphServer(model, variables, max_nodes=16, max_edges=64)
+    assert srv._single_buffer
+
+    ibuf = np.arange(srv._li_csr, dtype=np.int32)
+    fvals = np.array([0.0, -0.0, 1.5, np.inf, -np.inf, np.nan,
+                      np.float32(1e-42), 3.14], np.float32)
+    fbuf = np.resize(fvals, srv._lf_csr).astype(np.float32)
+    Xp = rng.standard_normal((16, d_in)).astype(np.float32)
+    buf = jnp.asarray(srv._pack_all(ibuf, fbuf, Xp))
+
+    ib2, fb2 = srv._split(buf, srv._li_csr, srv._lf_csr)
+    X2 = srv._unpack_x(buf, srv._li_csr, srv._lf_csr)
+    np.testing.assert_array_equal(np.asarray(ib2), ibuf)
+    np.testing.assert_array_equal(
+        np.asarray(fb2).view(np.int32), fbuf.view(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(X2).view(np.int32), Xp.view(np.int32))
