@@ -8,7 +8,7 @@ pipelining hides, not device execution.  This probe measures each stage
 in isolation on the SAME envelope/model as bench_serving:
 
   build    host-side numpy: pad + fits + to_multi_table + pack
-  h2d      jnp.asarray of the three request buffers + readback barrier
+  h2d      jnp.asarray of the single packed carrier + readback barrier
   exec     compiled forward on PRE-STAGED device inputs + 1-scalar D2H
   d2h      np.asarray of the full (max_nodes, d_out) output
   predict  the end-to-end GraphServer.predict call
@@ -69,29 +69,27 @@ def main():
         Xp = np.zeros((MAX_NODES, D_IN), np.float32)
         Xp[:X.shape[0]] = X
         ib, fb = srv._pack_multi(mt)
-        return Xp, ib, fb
+        buf = srv._pack_all(ib, fb, Xp)     # single int32 carrier (round 5)
+        return buf
 
-    Xp, ib, fb = stage_build()
+    buf = stage_build()
 
     def stage_h2d():
-        a = jnp.asarray(Xp)
-        b = jnp.asarray(ib)
-        c = jnp.asarray(fb)
-        # ONE readback depending on all three staged buffers
-        float(a[0, 0] + b[0].astype(a.dtype) + c[0])
-        return a, b, c
+        a = jnp.asarray(buf)
+        float(a[0])                         # readback barrier on the carrier
+        return a
 
-    Xd, ibd, fbd = stage_h2d()
-    out = srv._fwd_multi(srv.variables, Xd, ibd, fbd)   # compile + stage
+    bufd = stage_h2d()
+    out = srv._fwd_multi(srv.variables, bufd)           # compile + stage
     float(out[0, 0])
 
     def stage_exec():
-        o = srv._fwd_multi(srv.variables, Xd, ibd, fbd)
+        o = srv._fwd_multi(srv.variables, bufd)
         float(o[0, 0])
         return o
 
     def stage_exec_pipelined8():
-        os_ = [srv._fwd_multi(srv.variables, Xd, ibd, fbd)
+        os_ = [srv._fwd_multi(srv.variables, bufd)
                for _ in range(8)]
         float(os_[-1][0, 0])
 

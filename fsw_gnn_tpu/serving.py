@@ -136,22 +136,24 @@ class GraphServer:
     no-ops for real outputs.
 
     Transfer layout: request graphs are built entirely host-side (numpy)
-    and shipped packed -- for 4-byte `dtype`s (the f32 default) as ONE
-    int32 buffer carrying [graph ints | graph floats (bit-view) |
-    X (bit-view)], bitcast + sliced back by static XLA ops inside the
-    compiled forward, so a request costs exactly 1 host->device transfer
-    + 1 device->host readback.  (Non-4-byte dtypes, e.g. bf16, use the
-    earlier 3-transfer layout: X + int buffer + dtype buffer.)  This is
-    the serving analogue of the reference's pay-layout-cost-once
-    invariant (/root/reference/fsw_embedding.py:2269-2278): on
-    tunnel-class links each buffer costs a ~12 ms RTT, so buffer count
-    IS the latency floor.  Every per-request device op must also be
-    REQUEST-SHAPE-INVARIANT: see `predict` for the output-slice compile
-    trap that dominated round 4's numbers.  Measured round 5 (BENCH.md
-    "Online serving"): multi-envelope p50 40.3 ms vs CSR 66.2 through
-    the remote tunnel with the 3-transfer layout -- the fast compute
-    layout wins end-to-end 1.64x; the single-buffer layout removes two
-    more RTTs from both paths.
+    and shipped packed as ONE int32 carrier buffer [graph ints | graph
+    floats | X], all bit-views (exact, no value conversion on the wire),
+    bitcast + sliced back by static XLA ops inside the compiled forward
+    -- a request costs exactly 1 host->device transfer + 1 device->host
+    readback.  Wire-byte minimization on top: indices ship as
+    pair-packed uint16 whenever every index value fits (envelope
+    max(nodes, edges) <= 65535 -- node ids, edge positions, row_ptr
+    entries, and the row-id sentinel all stay in range), and a 2-byte
+    `dtype` (bf16) pair-packs its floats the same way.  This is the
+    serving analogue of the reference's pay-layout-cost-once invariant
+    (/root/reference/fsw_embedding.py:2269-2278); the measured
+    tunnel-class law (BENCH.md "Online serving") is that request latency
+    is transfer-BYTE-bound (~22 MB/s effective), so bytes -- not buffer
+    count -- are the lever.  Dtypes with other widths (e.g. f64) fall
+    back to the 3-transfer layout (X + int buffer + dtype buffer).
+    Every per-request device op must also be REQUEST-SHAPE-INVARIANT:
+    see `predict` for the output-slice compile trap that dominated round
+    4's numbers.
     """
 
     def __init__(self, model, variables, max_nodes: int, max_edges: int,
@@ -168,9 +170,22 @@ class GraphServer:
         # per-request detected flag is data-dependent static metadata and
         # would fork the compile cache
         self.assume_uniform_w = bool(assume_uniform_w)
-        # single-buffer transfer layout needs bit-width-preserving views
-        # between the graph floats / X and the int32 carrier
-        self._single_buffer = np.dtype(self.dtype).itemsize == 4
+        # single-buffer transfer layout: bit-width-preserving views between
+        # the graph ints / graph floats / X and one int32 carrier.  2-byte
+        # payloads (bf16 floats; uint16 indices when every index value --
+        # node ids, edge positions, row_ptr entries, the row-id sentinel
+        # max_nodes -- fits) ride PAIR-PACKED in the carrier words, halving
+        # their wire bytes; the tunnel-class measurement (BENCH.md "Online
+        # serving") shows request latency is transfer-BYTE-bound, not
+        # buffer-count bound.
+        self._itemsize = np.dtype(self.dtype).itemsize
+        # max_nodes >= 2 guarantees d_in is recoverable from the carrier
+        # length even with one pair-pack padding element (see _unpack_x)
+        self._single_buffer = (self._itemsize == 4
+                               or (self._itemsize == 2
+                                   and self.max_nodes >= 2))
+        self._idx16 = (self._single_buffer
+                       and max(self.max_nodes, self.max_edges) <= 65535)
         E, R, de = self.max_edges, self.max_nodes, self.d_edge
         self._li_csr = 4 * E + R + 1            # src,dst,row_ptr,order,sorted
         self._lf_csr = E + R + E * de           # weight,in_degrees,edge_feat
@@ -223,21 +238,59 @@ class GraphServer:
     # ---- packed transfer layout (host pack / in-jit unpack) -------------
 
     def _pack_all(self, ibuf, fbuf, Xp) -> np.ndarray:
-        """Single int32 carrier: [ints | float bits | X bits].  Bit views
-        are exact (no value conversion anywhere on the wire)."""
-        return np.concatenate([ibuf, fbuf.view(np.int32),
-                               np.ravel(Xp).view(np.int32)])
+        """Single int32 carrier: [int bits | float bits | X bits].  The
+        views are exact bit copies (no value conversion on the wire);
+        2-byte elements are pair-packed into carrier words."""
+        parts = [self._pack16(ibuf.astype(np.uint16)) if self._idx16
+                 else ibuf]
+        for arr in (fbuf, np.ravel(Xp)):
+            parts.append(arr.view(np.int32) if self._itemsize == 4
+                         else self._pack16(arr))
+        return np.concatenate(parts)
+
+    @staticmethod
+    def _pack16(arr) -> np.ndarray:
+        if arr.size % 2:
+            arr = np.concatenate([arr, np.zeros(1, arr.dtype)])
+        return arr.view(np.int32)
+
+    # carrier-word counts for a logical element count
+    def _wi(self, li):
+        return -(-li // 2) if self._idx16 else li
+
+    def _wf(self, lf):
+        return lf if self._itemsize == 4 else -(-lf // 2)
+
+    def _decode16(self, words, dtype, n):
+        """int32 words -> n elements of 2-byte `dtype` (in-jit)."""
+        v = jax.lax.bitcast_convert_type(words, dtype)     # (w, 2)
+        return v.reshape(-1)[:n]
 
     def _split(self, buf, li, lf):
         """In-jit inverse of `_pack_all` for the graph part: static
-        slices + same-width bitcasts (request-shape-invariant)."""
-        ibuf = buf[:li]
-        fbuf = jax.lax.bitcast_convert_type(buf[li:li + lf], self.dtype)
+        slices + bitcasts only (request-shape-invariant)."""
+        wi, wf = self._wi(li), self._wf(lf)
+        if self._idx16:
+            ibuf = self._decode16(buf[:wi], jnp.uint16, li).astype(jnp.int32)
+        else:
+            ibuf = buf[:wi]
+        fw = buf[wi:wi + wf]
+        fbuf = (jax.lax.bitcast_convert_type(fw, self.dtype)
+                if self._itemsize == 4
+                else self._decode16(fw, self.dtype, lf))
         return ibuf, fbuf
 
     def _unpack_x(self, buf, li, lf):
-        X = jax.lax.bitcast_convert_type(buf[li + lf:], self.dtype)
-        return X.reshape(self.max_nodes, -1)
+        xw = buf[self._wi(li) + self._wf(lf):]
+        R = self.max_nodes
+        if self._itemsize == 4:
+            return jax.lax.bitcast_convert_type(
+                xw, self.dtype).reshape(R, -1)
+        # 2-byte: xw carries R*d_in elements (+ at most 1 pair padding),
+        # so d_in = (2*len) // R is exact whenever R >= 2 (enforced at
+        # __init__); shapes here are static at trace time
+        d_in = (2 * xw.shape[0]) // R
+        return self._decode16(xw, self.dtype, R * d_in).reshape(R, d_in)
 
     def _pack_csr(self, g: Graph):
         ibuf = np.concatenate([np.asarray(a) for a in (

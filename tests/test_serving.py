@@ -292,10 +292,10 @@ def test_graph_server_warmup_compiles_both_paths():
     assert csr.warmup(d_in) == 1
 
 
-def test_graph_server_bf16_legacy_transfer_layout():
-    """Non-4-byte dtypes cannot ride the single-buffer bit-view layout;
-    the server must fall back to the 3-transfer path and still serve
-    correct (bf16-class) results with one compile."""
+def test_graph_server_bf16_pair_packed_single_buffer():
+    """A 2-byte dtype rides the single-buffer layout with PAIR-PACKED
+    floats and uint16 indices, and still serves correct (bf16-class)
+    results with one compile."""
     from fsw_gnn_tpu.serving import GraphServer
     rng = np.random.default_rng(11)
     d_in, d_out = 5, 3
@@ -309,7 +309,7 @@ def test_graph_server_bf16_legacy_transfer_layout():
 
     srv = GraphServer(model, variables, max_nodes=32, max_edges=256,
                       dtype=jnp.bfloat16)
-    assert not srv._single_buffer
+    assert srv._single_buffer and srv._idx16 and srv._itemsize == 2
     for seed, n in [(1, 16), (2, 25)]:
         r = np.random.default_rng(seed)
         ei = _random_graph(r, n)
@@ -355,3 +355,55 @@ def test_single_buffer_pack_is_bit_exact():
         np.asarray(fb2).view(np.int32), fbuf.view(np.int32))
     np.testing.assert_array_equal(
         np.asarray(X2).view(np.int32), Xp.view(np.int32))
+
+
+def test_graph_server_f64_legacy_transfer_layout():
+    """Dtypes outside the {2,4}-byte carrier widths fall back to the
+    3-transfer layout and still serve correctly with one compile."""
+    from fsw_gnn_tpu.serving import GraphServer
+    rng = np.random.default_rng(13)
+    d_in, d_out = 4, 2
+    model = FSWGNN(in_channels=d_in, hidden_dims=(4, d_out),
+                   minimize_slice_coherence=False)
+    n0 = 14
+    ei0 = _random_graph(rng, n0)
+    X0 = rng.standard_normal((n0, d_in)).astype(np.float32)
+    g0 = from_edge_index(ei0, n0)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X0), g0)
+
+    srv = GraphServer(model, variables, max_nodes=16, max_edges=128,
+                      dtype=jnp.float64)
+    assert not srv._single_buffer
+    got = srv.predict(ei0, X0)
+    want = np.asarray(model.apply(variables, jnp.asarray(X0), g0))
+    assert got.shape == (n0, d_out)
+    np.testing.assert_allclose(got.astype(np.float32), want,
+                               rtol=5e-5, atol=1e-5)
+    assert srv.num_compiles() == 1
+
+
+def test_graph_server_idx16_disabled_on_big_envelopes():
+    """An envelope whose index values exceed uint16 range must keep
+    int32 indices (the uint16 packing is envelope-conditional)."""
+    from fsw_gnn_tpu.serving import GraphServer
+    rng = np.random.default_rng(14)
+    d_in = 3
+    model = FSWGNN(in_channels=d_in, hidden_dims=(4, 2),
+                   minimize_slice_coherence=False)
+    n0 = 10
+    ei0 = _random_graph(rng, n0)
+    g0 = from_edge_index(ei0, n0)
+    X0 = rng.standard_normal((n0, d_in)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X0), g0)
+    srv = GraphServer(model, variables, max_nodes=128, max_edges=70000)
+    assert srv._single_buffer and not srv._idx16
+    # pack/unpack roundtrip stays exact with raw int32 indices
+    ibuf = np.linspace(0, 69999, srv._li_csr).astype(np.int32)
+    fbuf = rng.standard_normal(srv._lf_csr).astype(np.float32)
+    Xp = rng.standard_normal((128, d_in)).astype(np.float32)
+    buf = jnp.asarray(srv._pack_all(ibuf, fbuf, Xp))
+    ib2, fb2 = srv._split(buf, srv._li_csr, srv._lf_csr)
+    X2 = srv._unpack_x(buf, srv._li_csr, srv._lf_csr)
+    np.testing.assert_array_equal(np.asarray(ib2), ibuf)
+    np.testing.assert_array_equal(np.asarray(fb2), fbuf)
+    np.testing.assert_array_equal(np.asarray(X2), Xp)
