@@ -73,6 +73,7 @@ def main():
         return buf
 
     buf = stage_build()
+    print(json.dumps({'carrier_bytes': int(buf.nbytes)}), flush=True)
 
     def stage_h2d():
         a = jnp.asarray(buf)
@@ -118,25 +119,8 @@ def main():
                           'min_ms': round(ts[0] * 1e3, 2),
                           'max_ms': round(ts[-1] * 1e3, 2)}), flush=True)
 
-    # single-buffer variant: everything in ONE f32 H2D (ints bitcast)
-    one = np.concatenate([Xp.ravel(), fb, ib.view(np.float32)])
-
-    def stage_h2d_one():
-        a = jnp.asarray(one)
-        float(a[0])
-        return a
-
-    stage_h2d_one()
-    ts = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        stage_h2d_one()
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    print(json.dumps({'stage': 'h2d_single_buffer',
-                      'bytes': int(one.nbytes),
-                      'p50_ms': round(ts[len(ts) // 2] * 1e3, 2),
-                      'min_ms': round(ts[0] * 1e3, 2)}), flush=True)
+    # (the main h2d stage IS the single-buffer carrier since round 5's
+    # layout change; the old separate h2d_single_buffer stage is gone)
 
 
 if __name__ == '__main__':

@@ -159,7 +159,9 @@ class GraphServer:
     def __init__(self, model, variables, max_nodes: int, max_edges: int,
                  *, d_edge: int = 0, dtype=jnp.float32,
                  classes=None, class_rows=None,
-                 assume_uniform_w: bool = False):
+                 assume_uniform_w: bool = False,
+                 transfer_layout: str = 'auto',
+                 pack_indices: Optional[bool] = None):
         self.model = model
         self.variables = variables
         self.max_nodes = int(max_nodes)
@@ -179,13 +181,32 @@ class GraphServer:
         # serving") shows request latency is transfer-BYTE-bound, not
         # buffer-count bound.
         self._itemsize = np.dtype(self.dtype).itemsize
+        # transfer_layout: 'single' forces the one-carrier layout, 'triple'
+        # the legacy 3-transfer layout (X + int buffer + float buffer),
+        # 'auto' picks single whenever the dtype width supports bit-views.
+        # pack_indices: force the uint16 index packing on/off (None =
+        # auto: on whenever the envelope guarantees every value fits).
+        # Explicit knobs exist for measurement (the serving laws were
+        # established by same-process A/B, BENCH.md) and for link types
+        # where decode cost beats wire bytes.
+        assert transfer_layout in ('auto', 'single', 'triple')
         # max_nodes >= 2 guarantees d_in is recoverable from the carrier
         # length even with one pair-pack padding element (see _unpack_x)
-        self._single_buffer = (self._itemsize == 4
-                               or (self._itemsize == 2
-                                   and self.max_nodes >= 2))
+        can_single = (self._itemsize == 4
+                      or (self._itemsize == 2 and self.max_nodes >= 2))
+        if transfer_layout == 'single':
+            assert can_single, (
+                f'single-buffer layout needs a 2/4-byte dtype '
+                f'(got itemsize {self._itemsize})')
+        self._single_buffer = (can_single if transfer_layout == 'auto'
+                               else transfer_layout == 'single')
+        idx_fits = max(self.max_nodes, self.max_edges) <= 65535
+        if pack_indices:
+            assert idx_fits, ('pack_indices=True needs '
+                              'max(max_nodes, max_edges) <= 65535')
         self._idx16 = (self._single_buffer
-                       and max(self.max_nodes, self.max_edges) <= 65535)
+                       and (idx_fits if pack_indices is None
+                            else bool(pack_indices)))
         E, R, de = self.max_edges, self.max_nodes, self.d_edge
         self._li_csr = 4 * E + R + 1            # src,dst,row_ptr,order,sorted
         self._lf_csr = E + R + E * de           # weight,in_degrees,edge_feat

@@ -407,3 +407,52 @@ def test_graph_server_idx16_disabled_on_big_envelopes():
     np.testing.assert_array_equal(np.asarray(ib2), ibuf)
     np.testing.assert_array_equal(np.asarray(fb2), fbuf)
     np.testing.assert_array_equal(np.asarray(X2), Xp)
+
+
+def test_transfer_layout_knobs_bit_identical():
+    """The three transfer layouts (single+u16 / single+i32 / triple) are
+    pure re-encodings: same requests, bit-identical outputs, one compile
+    each (the ABA bench's correctness contract, pinned on CPU)."""
+    from fsw_gnn_tpu.serving import GraphServer, multi_envelope
+    rng = np.random.default_rng(21)
+    d_in = 5
+    model = FSWGNN(in_channels=d_in, hidden_dims=(6, 3),
+                   minimize_slice_coherence=False)
+    n0 = 24
+    ei0 = _random_graph(rng, n0)
+    g0 = from_edge_index(ei0, n0)
+    X0 = rng.standard_normal((n0, d_in)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X0), g0)
+    classes, class_rows = multi_envelope(g0, max_nodes=48)
+
+    def mk(**kw):
+        return GraphServer(model, variables, 48, 1024, classes=classes,
+                           class_rows=class_rows, **kw)
+
+    servers = [mk(), mk(pack_indices=False), mk(transfer_layout='triple')]
+    assert servers[0]._idx16 and not servers[1]._idx16
+    assert not servers[2]._single_buffer
+    outs = [s.predict(ei0, X0) for s in servers]
+    for o in outs[1:]:
+        np.testing.assert_array_equal(outs[0], o)
+    for s in servers:
+        assert s.num_compiles() == 1
+
+    # invalid knob combinations raise
+    try:
+        mk(pack_indices=True, max_nodes=48)     # duplicate kw -> TypeError
+    except TypeError:
+        pass
+    try:
+        GraphServer(model, variables, 128, 70000, pack_indices=True)
+    except AssertionError:
+        pass
+    else:
+        raise AssertionError('pack_indices=True must raise on big envelopes')
+    try:
+        GraphServer(model, variables, 48, 1024, dtype=jnp.float64,
+                    transfer_layout='single')
+    except AssertionError:
+        pass
+    else:
+        raise AssertionError('single layout must raise for 8-byte dtypes')
